@@ -1,0 +1,142 @@
+"""Vectorized maze: batched grid navigation as a pure-jnp state machine.
+
+Device-resident equivalent of MazeEnv (llm_rl_scripts/maze/env/env.py:
+104-184 semantics): action ids index (up, down, left, right); the agent
+moves iff the target cell is open; standard reward 0-at-goal / -4-illegal /
+-1-step; `max_steps` exceeded → reward -1 and done. An action id of
+INVALID_ACTION models un-parseable text actions (stay + illegal penalty).
+
+The grid is a shared [H,W] uint8 wall map; per-env state is just
+(position, goal, step count, done) so millions of instances fit on chip.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# action ids match grids.ACTION_STRS order: up, down, left, right
+DELTAS = np.asarray([(-1, 0), (1, 0), (0, -1), (0, 1)], dtype=np.int32)
+INVALID_ACTION = 4  # out-of-vocabulary text action
+
+
+class MazeVecState(struct.PyTreeNode):
+    pos: jax.Array  # [B,2] int32 (y,x)
+    goal: jax.Array  # [B,2] int32
+    n_steps: jax.Array  # [B] int32
+    done: jax.Array  # [B] bool
+    reward: jax.Array  # [B] float32 — last step's reward
+
+
+class MazeVectorEnv:
+    def __init__(
+        self,
+        maze: np.ndarray,
+        valid_goals: np.ndarray,
+        max_steps: Optional[int] = None,
+        illegal_penalty: float = -4.0,
+        step_penalty: float = -1.0,
+        goal_reward: float = 0.0,
+    ):
+        self.maze = jnp.asarray(maze, dtype=jnp.uint8)
+        self.valid_goals = jnp.asarray(valid_goals, dtype=jnp.int32)
+        open_cells = np.argwhere(np.asarray(maze) == 0).astype(np.int32)
+        self.open_cells = jnp.asarray(open_cells)
+        self.max_steps = max_steps
+        self.illegal_penalty = illegal_penalty
+        self.step_penalty = step_penalty
+        self.goal_reward = goal_reward
+        # deltas with an extra zero row for INVALID_ACTION
+        self.deltas = jnp.concatenate(
+            [jnp.asarray(DELTAS), jnp.zeros((1, 2), dtype=jnp.int32)], axis=0
+        )
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def reset(self, key: jax.Array, batch: int) -> MazeVecState:
+        """Uniform random goal from valid_goals; uniform start from open
+        cells excluding the goal (env.py:186-202 semantics, jax PRNG)."""
+        goal_key, pos_key = jax.random.split(key)
+        goal_idx = jax.random.randint(
+            goal_key, (batch,), 0, self.valid_goals.shape[0]
+        )
+        goal = self.valid_goals[goal_idx]  # [B,2]
+
+        # sample start uniformly among open cells != goal via masked categorical
+        cells = self.open_cells  # [C,2]
+        is_goal = jnp.all(cells[None, :, :] == goal[:, None, :], axis=-1)  # [B,C]
+        logits = jnp.where(is_goal, -jnp.inf, 0.0)
+        pos_idx = jax.random.categorical(pos_key, logits, axis=-1)  # [B]
+        pos = cells[pos_idx]
+        return MazeVecState(
+            pos=pos,
+            goal=goal,
+            n_steps=jnp.zeros((batch,), jnp.int32),
+            done=jnp.zeros((batch,), bool),
+            reward=jnp.zeros((batch,), jnp.float32),
+        )
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step(self, state: MazeVecState, action: jax.Array) -> MazeVecState:
+        """action: [B] int32 ∈ [0,4]; 4 = invalid/unparseable. Out-of-range
+        ids are clamped to INVALID_ACTION (negative ids would otherwise
+        silently clamp to action 0 in the gather)."""
+        action = jnp.clip(action, 0, INVALID_ACTION)
+        # max-steps timeout fires before the move (env.py:164-165)
+        timeout = (
+            (state.n_steps >= self.max_steps)
+            if self.max_steps is not None
+            else jnp.zeros_like(state.done)
+        )
+
+        delta = self.deltas[action]  # [B,2]
+        target = state.pos + delta
+        open_cell = self.maze[target[:, 0], target[:, 1]] == 0
+        legal = (action < INVALID_ACTION) & open_cell
+        new_pos = jnp.where(legal[:, None], target, state.pos)
+
+        at_goal = jnp.all(new_pos == state.goal, axis=-1)
+        reward = jnp.where(
+            at_goal,
+            self.goal_reward,
+            jnp.where(
+                action >= INVALID_ACTION, self.illegal_penalty, self.step_penalty
+            ),
+        )
+        reward = jnp.where(timeout, -1.0, reward)
+        new_done = at_goal | timeout
+
+        frozen = state.done
+        return MazeVecState(
+            pos=jnp.where(frozen[:, None], state.pos, new_pos),
+            goal=state.goal,
+            n_steps=jnp.where(frozen, state.n_steps, state.n_steps + 1),
+            done=jnp.where(frozen, state.done, new_done),
+            reward=jnp.where(frozen, 0.0, reward),
+        )
+
+    @partial(jax.jit, static_argnums=(0,))
+    def auto_reset(self, state: MazeVecState, key: jax.Array) -> MazeVecState:
+        fresh = self.reset(key, state.done.shape[0])
+        d = state.done
+
+        def sel(a, b):
+            shape = (-1,) + (1,) * (a.ndim - 1)
+            return jnp.where(d.reshape(shape), b, a)
+
+        return jax.tree.map(sel, state, fresh)
+
+    def optimal_action_table(self, goal: Tuple[int, int]) -> jax.Array:
+        """[H,W] int32 table of BFS-optimal action ids (-1 = wall/goal);
+        device-side analogue of the reference's optimal-directions oracle
+        (maze/env/mazes.py:20-48)."""
+        from lmrl_gym_tpu.envs.maze.grids import ACTION_STRS, maze_solver
+
+        maze_np = np.asarray(self.maze)
+        table = np.full(maze_np.shape, -1, dtype=np.int32)
+        for (y, x), action in maze_solver(maze_np, goal).items():
+            table[y, x] = ACTION_STRS.index(action)
+        return jnp.asarray(table)
