@@ -1,0 +1,138 @@
+"""Decoder-only transformer configuration.
+
+One config covers the reference's two decoder families (SURVEY.md §2.9):
+GPT-2 (learned positions, serial MLP) and GPT-J (rotary positions,
+parallel attention+MLP). Presets mirror the HF architectures the
+reference fine-tunes so HF checkpoints can be imported when available.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from jax.sharding import PartitionSpec as PS
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 50257
+    max_position_embeddings: int = 1024
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: Optional[int] = None  # default 4*hidden
+    activation: str = "gelu_new"
+    position_embedding: str = "learned"  # 'learned' | 'rotary'
+    rotary_dim: Optional[int] = None  # GPT-J: 64
+    parallel_ffn: bool = False  # GPT-J: True (attn & mlp share residual)
+    layer_norm_epsilon: float = 1e-5
+    tie_word_embeddings: bool = True
+    embd_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+    initializer_range: float = 0.02
+    # vocab padded up to a multiple of this for clean mp sharding; logits
+    # above `vocab_size` are masked to -inf at decode (the reference's
+    # force_pad_embeddings convention, SURVEY.md §2.9)
+    pad_vocab_to_multiple: int = 128
+    dtype: str = "bfloat16"  # activation dtype; params stay float32
+    remat: bool = False  # jax.checkpoint each block
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_heads == 0
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return self.intermediate_size or 4 * self.hidden_size
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = self.pad_vocab_to_multiple
+        return ((self.vocab_size + m - 1) // m) * m
+
+    def replace(self, **kw) -> "TransformerConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TransformerConfig":
+        return cls(**{k: v for k, v in d.items() if k in {f.name for f in dataclasses.fields(cls)}})
+
+    def partition_rules(self) -> Tuple[Tuple[str, PS], ...]:
+        """regex → PartitionSpec table over param key paths.
+
+        2D weights shard (fsdp, mp) or (mp, fsdp) so matmuls contract over
+        one sharded axis and GSPMD inserts a single collective per matmul;
+        embeddings shard vocab over mp so the logit matmul's output is
+        mp-sharded (cf. reference heads/mlp_head.py:76-83 convention).
+        """
+        return (
+            ("wte/embedding", PS("mp", "fsdp")),
+            ("wpe/embedding", PS(None, "fsdp")),
+            ("attn/qkv/kernel", PS("fsdp", "mp")),
+            ("attn/out/kernel", PS("mp", "fsdp")),
+            ("mlp/fc/kernel", PS("fsdp", "mp")),
+            ("mlp/proj/kernel", PS("mp", "fsdp")),
+            ("attn/qkv/bias", PS("mp")),
+            ("mlp/fc/bias", PS("mp")),
+            ("lm_head/kernel", PS("fsdp", "mp")),
+            (".*bias", PS()),
+            (".*scale", PS()),
+            (".*", PS()),
+        )
+
+
+def gpt2_small() -> TransformerConfig:
+    return TransformerConfig()
+
+
+def gpt2_medium() -> TransformerConfig:
+    return TransformerConfig(hidden_size=1024, num_layers=24, num_heads=16)
+
+
+def gpt2_large() -> TransformerConfig:
+    return TransformerConfig(hidden_size=1280, num_layers=36, num_heads=20)
+
+
+def gpt2_xl() -> TransformerConfig:
+    return TransformerConfig(hidden_size=1600, num_layers=48, num_heads=25)
+
+
+def gptj_6b() -> TransformerConfig:
+    return TransformerConfig(
+        vocab_size=50400,
+        max_position_embeddings=2048,
+        hidden_size=4096,
+        num_layers=28,
+        num_heads=16,
+        position_embedding="rotary",
+        rotary_dim=64,
+        parallel_ffn=True,
+        tie_word_embeddings=False,
+        embd_pdrop=0.0,
+        resid_pdrop=0.0,
+        attn_pdrop=0.0,
+    )
+
+
+def tiny_test_config(**kw) -> TransformerConfig:
+    """Small config for tests: fits CPU, exercises all code paths."""
+    base = dict(
+        vocab_size=259,  # ByteTokenizer
+        max_position_embeddings=128,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        embd_pdrop=0.0,
+        resid_pdrop=0.0,
+        attn_pdrop=0.0,
+        pad_vocab_to_multiple=64,
+        dtype="float32",
+    )
+    base.update(kw)
+    return TransformerConfig(**base)

@@ -1,0 +1,109 @@
+"""Autoregressive decoding as a `lax.scan` — no HF generation mixin.
+
+The reference drives decoding through transformers' FlaxGenerationMixin
+(value_rl_base/gpt2/generation.py:36-121); here the decode loop is a plain
+scan over an explicit KV-cache carry, generic over a `logits_fn`, so the
+same loop serves:
+
+- plain LM sampling (policies, BC eval),
+- value-guided decoding (π_β logits + β·min(q1,q2) head logits — the
+  ILQL/CQL/MC serving path) by passing a logits_fn that runs two trunks
+  and combines, and
+- oracle LMs in the environment loop.
+
+Convention: prompts are LEFT-padded (reference BlockingStrategy LEFT for
+generation) so every row's last prompt token sits at slot T_prompt-1; the
+cache is written at physical slots and pad slots stay masked out.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    max_new_tokens: int = 32
+    temperature: float = 1.0
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    greedy: bool = False
+    eos_token_id: Optional[int] = None
+    pad_token_id: int = 0
+
+
+def sample_token(
+    logits: jax.Array,  # [B, V] float32
+    key: jax.Array,
+    config: SamplingConfig,
+) -> jax.Array:
+    """[B] next tokens under greedy / temperature / top-k / top-p."""
+    if config.greedy:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / jnp.maximum(config.temperature, 1e-6)
+    if config.top_k is not None:
+        kth = jnp.sort(logits, axis=-1)[:, -config.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if config.top_p is not None:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep smallest set with cumulative prob >= top_p (always keep top-1)
+        cutoff_idx = jnp.sum(cum < config.top_p, axis=-1)  # [B]
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+# logits_fn(tokens [B,T], attention_mask [B,T_kv], carry) -> (logits [B,T,V], carry)
+LogitsFn = Callable[[jax.Array, jax.Array, Any], Tuple[jax.Array, Any]]
+
+
+def generate(
+    logits_fn: LogitsFn,
+    init_carry: Any,
+    prompt_ids: jax.Array,  # [B, T_prompt] LEFT-padded
+    prompt_mask: jax.Array,  # [B, T_prompt] 1 = real
+    key: jax.Array,
+    config: SamplingConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (tokens [B, max_new_tokens], token_mask [B, max_new_tokens]).
+
+    After eos, rows emit pad_token_id and token_mask turns 0. `init_carry`
+    must hold KV cache(s) sized ≥ T_prompt + max_new_tokens; logits_fn is
+    called once for prefill ([B,T_prompt]) then per step ([B,1]).
+    """
+    B, T_prompt = prompt_ids.shape
+    T_total = T_prompt + config.max_new_tokens
+
+    # [B, T_total] attention mask, prompt part at the left
+    full_mask = jnp.zeros((B, T_total), jnp.int32).at[:, :T_prompt].set(prompt_mask)
+
+    logits, carry = logits_fn(prompt_ids, full_mask, init_carry)
+    last_logits = logits[:, -1, :].astype(jnp.float32)
+
+    def step(scan_carry, step_key):
+        carry, mask, logits, done, t = scan_carry
+        token = sample_token(logits, step_key, config)
+        if config.eos_token_id is not None:
+            token = jnp.where(done, config.pad_token_id, token)
+            done = done | (token == config.eos_token_id)
+        emit_mask = jnp.where(done & (token == config.pad_token_id), 0, 1)
+        # post-eos pads enter the cache but stay masked out of attention
+        mask = mask.at[:, T_prompt + t].set(emit_mask)
+        new_logits, carry = logits_fn(token[:, None], mask, carry)
+        return (
+            carry,
+            mask,
+            new_logits[:, -1, :].astype(jnp.float32),
+            done,
+            t + 1,
+        ), (token, emit_mask)
+
+    keys = jax.random.split(key, config.max_new_tokens)
+    init = (carry, full_mask, last_logits, jnp.zeros((B,), bool), jnp.asarray(0))
+    _, (tokens, token_mask) = jax.lax.scan(step, init, keys)
+    return tokens.T, token_mask.T  # [B, T_new]

@@ -1,0 +1,273 @@
+"""Decoder-only transformer (GPT-2 / GPT-J families), TPU-first.
+
+Replaces the JaxSeq model stack the reference depends on (SURVEY.md §2.9)
+with a from-scratch flax implementation:
+
+- one module covers GPT-2 (learned positions, serial MLP) and GPT-J
+  (rotary, parallel attn+MLP) via TransformerConfig;
+- activations in bfloat16 (MXU-native), params float32;
+- explicit functional KV cache (a pytree threaded through `__call__`)
+  instead of flax mutable collections — so the decode loop is a plain
+  `lax.scan` (models/generation.py), not an HF mixin;
+- vocab padded to a shardable multiple; logits above vocab_size masked at
+  sampling time (the reference's force_pad_embeddings convention);
+- optional jax.checkpoint (remat) per block for memory-bound training.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lmrl_gym_tpu.models.config import TransformerConfig
+
+
+class KVCache(struct.PyTreeNode):
+    """Per-model decode cache. k/v: [L, B, H, T_max, Dh]; index: next slot."""
+
+    k: jax.Array
+    v: jax.Array
+    index: jax.Array  # [] int32
+
+    @classmethod
+    def init(cls, config: TransformerConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
+        dtype = dtype or jnp.dtype(config.dtype)
+        shape = (config.num_layers, batch, config.num_heads, max_len, config.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), index=jnp.zeros((), jnp.int32)
+        )
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary(x: jax.Array, position_ids: jax.Array, rotary_dim: int, base: float = 10000.0):
+    """x: [B, H, T, Dh]; GPT-J-style rotary on the first rotary_dim dims."""
+    B, H, T, Dh = x.shape
+    inv_freq = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    angles = position_ids[:, :, None].astype(jnp.float32) * inv_freq[None, None, :]  # [B,T,rd/2]
+    sin = jnp.sin(angles)[:, None, :, :]  # [B,1,T,rd/2]
+    cos = jnp.cos(angles)[:, None, :, :]
+    sin = jnp.concatenate([sin, sin], axis=-1).astype(x.dtype)
+    cos = jnp.concatenate([cos, cos], axis=-1).astype(x.dtype)
+    x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
+    x_rot = x_rot * cos + _rotate_half(x_rot) * sin
+    return jnp.concatenate([x_rot, x_pass], axis=-1)
+
+
+class Attention(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, D]
+        attention_mask: jax.Array,  # [B, T_kv] 1=real
+        position_ids: jax.Array,  # [B, T]
+        layer_cache: Optional[Tuple[jax.Array, jax.Array, jax.Array]],  # (k,v,index)
+        deterministic: bool,
+    ):
+        cfg = self.config
+        B, T, D = x.shape
+        H, Dh = cfg.num_heads, cfg.head_dim
+        dtype = jnp.dtype(cfg.dtype)
+        init = nn.initializers.normal(cfg.initializer_range)
+
+        qkv = nn.Dense(3 * D, dtype=dtype, kernel_init=init, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)  # [B,H,T,Dh]
+
+        q, k, v = heads(q), heads(k), heads(v)
+
+        if cfg.position_embedding == "rotary":
+            rd = cfg.rotary_dim or Dh
+            q = apply_rotary(q, position_ids, rd)
+            k = apply_rotary(k, position_ids, rd)
+
+        if layer_cache is not None:
+            ck, cv, index = layer_cache  # [B,H,Tmax,Dh]
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, index, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, index, 0))
+            k, v = ck, cv
+            T_kv = ck.shape[2]
+            # causal within the cache: key slot j visible iff j < index + T
+            kv_pos = jnp.arange(T_kv)[None, None, None, :]  # [1,1,1,Tkv]
+            q_pos = index + jnp.arange(T)[None, None, :, None]  # [1,1,T,1]
+            causal = kv_pos <= q_pos
+            mask = causal & attention_mask[:, None, None, :].astype(bool)
+            new_cache = (ck, cv)
+        else:
+            T_kv = T
+            causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+            mask = causal & attention_mask[:, None, None, :].astype(bool)
+            new_cache = None
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        if not deterministic and cfg.attn_pdrop > 0:
+            probs = nn.Dropout(cfg.attn_pdrop, deterministic=False)(probs)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        out = nn.Dense(D, dtype=dtype, kernel_init=init, name="out")(out)
+        if not deterministic and cfg.resid_pdrop > 0:
+            out = nn.Dropout(cfg.resid_pdrop, deterministic=False)(out)
+        return out, new_cache
+
+
+class MLP(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        init = nn.initializers.normal(cfg.initializer_range)
+        h = nn.Dense(cfg.mlp_dim, dtype=dtype, kernel_init=init, name="fc")(x)
+        if cfg.activation == "gelu_new":
+            h = nn.gelu(h, approximate=True)
+        elif cfg.activation == "gelu":
+            h = nn.gelu(h, approximate=False)
+        elif cfg.activation == "relu":
+            h = nn.relu(h)
+        else:
+            raise ValueError(cfg.activation)
+        h = nn.Dense(cfg.hidden_size, dtype=dtype, kernel_init=init, name="proj")(h)
+        if not deterministic and cfg.resid_pdrop > 0:
+            h = nn.Dropout(cfg.resid_pdrop, deterministic=False)(h)
+        return h
+
+
+class Block(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask, position_ids, layer_cache, deterministic):
+        cfg = self.config
+        ln1 = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=jnp.dtype(cfg.dtype), name="ln_1")
+        h = ln1(x)
+        attn_out, new_cache = Attention(cfg, name="attn")(
+            h, attention_mask, position_ids, layer_cache, deterministic
+        )
+        if cfg.parallel_ffn:
+            # GPT-J: mlp reads the same normed input; one residual add
+            mlp_out = MLP(cfg, name="mlp")(h, deterministic)
+            x = x + attn_out + mlp_out
+        else:
+            x = x + attn_out
+            ln2 = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=jnp.dtype(cfg.dtype), name="ln_2")
+            x = x + MLP(cfg, name="mlp")(ln2(x), deterministic)
+        return x, new_cache
+
+
+class Transformer(nn.Module):
+    """Returns (logits [B,T,V_padded], hidden [B,T,D], new KVCache|None)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,  # [B, T]
+        attention_mask: Optional[jax.Array] = None,  # [B, T] or [B, T_kv] with cache
+        position_ids: Optional[jax.Array] = None,  # [B, T]
+        cache: Optional[KVCache] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        B, T = input_ids.shape
+        dtype = jnp.dtype(cfg.dtype)
+        V = cfg.padded_vocab_size
+
+        if attention_mask is None:
+            kv_len = cache.k.shape[3] if cache is not None else T
+            attention_mask = jnp.ones((B, kv_len), jnp.int32)
+        if position_ids is None:
+            start = cache.index if cache is not None else 0
+            position_ids = start + jnp.broadcast_to(jnp.arange(T), (B, T))
+
+        wte = nn.Embed(
+            V,
+            cfg.hidden_size,
+            embedding_init=nn.initializers.normal(cfg.initializer_range),
+            dtype=dtype,
+            name="wte",
+        )
+        x = wte(input_ids)
+        if cfg.position_embedding == "learned":
+            wpe = nn.Embed(
+                cfg.max_position_embeddings,
+                cfg.hidden_size,
+                embedding_init=nn.initializers.normal(cfg.initializer_range),
+                dtype=dtype,
+                name="wpe",
+            )
+            x = x + wpe(position_ids)
+        if not deterministic and cfg.embd_pdrop > 0:
+            x = nn.Dropout(cfg.embd_pdrop, deterministic=False)(x)
+
+        block_cls = Block
+        if cfg.remat:
+            block_cls = nn.remat(Block, static_argnums=(4,))
+
+        new_k, new_v = [], []
+        for i in range(cfg.num_layers):
+            layer_cache = (
+                (cache.k[i], cache.v[i], cache.index) if cache is not None else None
+            )
+            x, lc = block_cls(cfg, name=f"h_{i}")(
+                x, attention_mask, position_ids, layer_cache, deterministic
+            )
+            if lc is not None:
+                new_k.append(lc[0])
+                new_v.append(lc[1])
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=dtype, name="ln_f")(x)
+
+        if cfg.tie_word_embeddings:
+            logits = wte.attend(x.astype(jnp.float32))
+        else:
+            logits = nn.Dense(
+                V,
+                use_bias=True,
+                dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(cfg.initializer_range),
+                name="lm_head",
+            )(x.astype(jnp.float32))
+
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(
+                k=jnp.stack(new_k), v=jnp.stack(new_v), index=cache.index + T
+            )
+        return logits, x, new_cache
+
+
+def init_params(config: TransformerConfig, key: jax.Array, batch: int = 1, seq: int = 8):
+    model = Transformer(config)
+    variables = model.init(
+        key,
+        jnp.zeros((batch, seq), jnp.int32),
+        deterministic=True,
+    )
+    return variables["params"]
+
+
+def mask_pad_logits(logits: jax.Array, vocab_size: int) -> jax.Array:
+    """-inf above the true vocab (generation must not sample pad ids;
+    cf. reference value_rl_base/gpt2/interface.py:181)."""
+    V = logits.shape[-1]
+    if V == vocab_size:
+        return logits
+    mask = jnp.arange(V) < vocab_size
+    return jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
