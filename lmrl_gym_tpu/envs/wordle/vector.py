@@ -331,6 +331,26 @@ class WordleVectorEnv:
         return jax.tree.map(sel, state, fresh)
 
     @partial(jax.jit, static_argnums=(0,))
+    def rollout_episodes(self, key: jax.Array, batch_holder: WordleState):
+        """Full 6-turn episodes for B envs as ONE compiled lax.scan with the
+        random-consistent-guess policy: the bench kernel (no per-turn host
+        dispatch). Returns (final_state, total_reward [B], wins [B])."""
+        state = initial_state(batch_holder.done.shape[0])
+
+        def turn(carry, turn_key):
+            state, total = carry
+            gkey, skey = jax.random.split(turn_key)
+            guess = self.random_consistent_guess(state, gkey)
+            state, _ = self.step(
+                state, guess, jnp.ones_like(state.done), skey
+            )
+            return (state, total + state.reward), None
+
+        keys = jax.random.split(key, N_TRIES)
+        (state, total), _ = jax.lax.scan(turn, (state, jnp.zeros_like(state.reward)), keys)
+        return state, total, state.reward == 0.0
+
+    @partial(jax.jit, static_argnums=(0,))
     def random_consistent_guess(
         self, state: WordleState, key: jax.Array
     ) -> jax.Array:

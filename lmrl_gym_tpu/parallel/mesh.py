@@ -82,6 +82,36 @@ def match_partition_rules(rules: Sequence[Tuple[str, PS]], params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def refine_specs_for_shapes(spec_tree: Any, tree: Any, mesh: Mesh) -> Any:
+    """Drop sharding on any dim not divisible by its mesh axes' size.
+
+    Rule tables are written for the general case (e.g. head kernels
+    PS('mp','fsdp')); small heads (output dim 1) or odd vocabs can't honor
+    them — the standard fix is to replicate that dim instead of failing.
+    """
+
+    def axis_size(axis) -> int:
+        if axis is None:
+            return 1
+        if isinstance(axis, (tuple, list)):
+            return int(np.prod([mesh.shape[a] for a in axis]))
+        return mesh.shape[axis]
+
+    def refine(spec: PS, leaf) -> PS:
+        if not hasattr(leaf, "shape"):
+            return spec
+        parts = list(spec) + [None] * (len(leaf.shape) - len(spec))
+        out = [
+            axis if (dim % axis_size(axis) == 0) else None
+            for axis, dim in zip(parts, leaf.shape)
+        ]
+        return PS(*out)
+
+    return jax.tree.map(
+        refine, spec_tree, tree, is_leaf=lambda x: isinstance(x, PS)
+    )
+
+
 def shard_pytree(tree: Any, spec_tree: Any, mesh: Mesh) -> Any:
     """Place a pytree onto the mesh with the given PartitionSpec pytree."""
     return jax.tree.map(
