@@ -1,0 +1,410 @@
+"""Serving path: value-guided decoding, text policies, rerankers.
+
+Rebuild of the reference's value_rl_base stack (SURVEY §2.5):
+
+- `ValueGuidedServer.generate`: decode with logits = π_β + β·min(q1,q2)
+  (value_rl_base/gpt2/generation.py:36-121). The reference threads two HF
+  KV caches through a FlaxGenerationMixin; here both trunks run inside one
+  scan-based decode loop (models/generation.py) with a (π_β cache, value
+  cache) carry. Setting share_trunk=True runs ONE trunk and applies the Q
+  heads to its hidden states — half the decode FLOPs when π_β and the
+  value base were initialized from the same checkpoint and only the heads
+  differ (a TPU-first option the reference lacks).
+- `ValuePolicy`: BatchedTextPolicy — histories → strings → left-pad →
+  generate → strip prompt → Text(out, True); done slots return None
+  (value_rl_base/gpt2/interface.py:254-330).
+- Rerankers: score a proposal set and argmax / softmax-sample
+  (ppo/reranker_policy.py:5-32); score fns: ILQL Σ value_weight·(Q−V) +
+  logit_weight·logπ_β (ilql/gpt2/score_fn.py:11-68), MC Σ Q
+  (mc_returns/score_fn.py:10-60), BC/PPO action log-prob
+  (ppo/score_fn.py:10-126).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, List, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmrl_gym_tpu.core.blocking import (
+    BlockingStrategy,
+    Padding,
+    Truncation,
+    block_sequences,
+    strip_prompt_from_completion,
+)
+from lmrl_gym_tpu.envs.base import BatchedTextPolicy
+from lmrl_gym_tpu.models.generation import SamplingConfig, generate
+from lmrl_gym_tpu.models.interface import LMCore, initialize_attn_mask_pos_ids
+from lmrl_gym_tpu.models.transformer import KVCache, mask_pad_logits
+from lmrl_gym_tpu.text.frames import Text, TextHistory, text_history_to_str
+
+
+class ValueRLParams(NamedTuple):
+    """Parameter bundle (cf. ValueRLInference, value_rl_base/base_interface.py:26-66)."""
+
+    pi_beta: Optional[Any]  # frozen BC prior (None → pure β·Q decoding)
+    base: Any  # value trunk
+    q1_head: Any
+    q2_head: Optional[Any]
+    v_head: Optional[Any]
+
+
+class ValueGuidedServer:
+    """Decode-time policy for ILQL/CQL/MC-class checkpoints."""
+
+    def __init__(
+        self,
+        core: LMCore,
+        q_head: nn.Module,
+        v_head: Optional[nn.Module],
+        tokenizer,
+        beta: float = 8.0,
+        share_trunk: bool = False,
+    ):
+        self.core = core
+        self.q_head = q_head
+        self.v_head = v_head
+        self.tokenizer = tokenizer
+        self.beta = beta
+        self.share_trunk = share_trunk
+
+    def _make_guided_logits_fn(self, params: ValueRLParams, total_len: int, batch: int):
+        config = self.core.config
+        module = self.core.module
+        run_pi_beta = params.pi_beta is not None and not self.share_trunk
+
+        def trunk(p, tokens, attn_mask, position_ids, cache):
+            logits, hidden, cache = module.apply(
+                {"params": p},
+                tokens,
+                attention_mask=attn_mask,
+                position_ids=position_ids,
+                cache=cache,
+                deterministic=True,
+            )
+            return logits, hidden, cache
+
+        def logits_fn(tokens, attn_mask, carry):
+            pi_cache, base_cache, next_pos = carry
+            T = tokens.shape[1]
+            cache_len = base_cache.k.shape[3]
+            if attn_mask.shape[1] < cache_len:
+                attn_mask = jnp.pad(
+                    attn_mask, ((0, 0), (0, cache_len - attn_mask.shape[1]))
+                )
+            if T > 1:
+                prefix = attn_mask[:, :T]
+                position_ids = jnp.clip(jnp.cumsum(prefix, axis=1) - 1, 0, None)
+                next_pos = prefix.sum(axis=1)
+            else:
+                position_ids = next_pos[:, None]
+                next_pos = next_pos + 1
+
+            base_logits, hidden, base_cache = trunk(
+                params.base, tokens, attn_mask, position_ids, base_cache
+            )
+            q1 = self.q_head.apply({"params": params.q1_head}, hidden)
+            if params.q2_head is not None:
+                q2 = self.q_head.apply({"params": params.q2_head}, hidden)
+                q = jnp.minimum(q1, q2)
+            else:
+                q = q1
+
+            if run_pi_beta:
+                pi_logits, _, pi_cache = trunk(
+                    params.pi_beta, tokens, attn_mask, position_ids, pi_cache
+                )
+                logits = pi_logits.astype(jnp.float32) + self.beta * q.astype(jnp.float32)
+            elif self.share_trunk and params.pi_beta is None:
+                # shared trunk: base logits ARE π_β's (same params)
+                logits = base_logits.astype(jnp.float32) + self.beta * q.astype(jnp.float32)
+            elif self.share_trunk:
+                logits = base_logits.astype(jnp.float32) + self.beta * q.astype(jnp.float32)
+            else:
+                logits = self.beta * q.astype(jnp.float32)
+
+            logits = mask_pad_logits(logits, config.vocab_size)
+            return logits, (pi_cache, base_cache, next_pos)
+
+        base_cache = KVCache.init(config, batch, total_len)
+        pi_cache = KVCache.init(config, batch, total_len) if run_pi_beta else base_cache
+        return logits_fn, (pi_cache, base_cache, jnp.zeros((batch,), jnp.int32))
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def generate(
+        self,
+        params: ValueRLParams,
+        prompt_ids: jax.Array,  # [B, T] LEFT-padded
+        prompt_mask: jax.Array,
+        sampling: SamplingConfig,
+        key: jax.Array = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        B, T = prompt_ids.shape
+        logits_fn, carry = self._make_guided_logits_fn(
+            params, T + sampling.max_new_tokens, B
+        )
+        return generate(logits_fn, carry, prompt_ids, prompt_mask, key, sampling)
+
+    def generate_from_strs(
+        self,
+        params: ValueRLParams,
+        prompts: Sequence[str],
+        max_input_length: int,
+        sampling: SamplingConfig,
+        key: jax.Array,
+    ) -> List[str]:
+        tok = self.tokenizer
+        ids = block_sequences(
+            [tok.encode(p) for p in prompts],
+            tok.pad_token_id,
+            np.int32,
+            BlockingStrategy(Padding.LEFT, Truncation.LEFT, max_input_length),
+        )
+        ids = jnp.asarray(ids)
+        mask = (ids != tok.pad_token_id).astype(jnp.int32)
+        tokens, token_mask = self.generate(params, ids, mask, sampling, key)
+        outs = []
+        for row, mrow in zip(np.asarray(tokens), np.asarray(token_mask)):
+            outs.append(tok.decode([int(t) for t, m in zip(row, mrow) if m]))
+        return outs
+
+
+class LMServer:
+    """Plain-LM serving (BC policies, oracle LMs)."""
+
+    def __init__(self, core: LMCore, tokenizer):
+        self.core = core
+        self.tokenizer = tokenizer
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def generate(self, params, prompt_ids, prompt_mask, sampling: SamplingConfig, key):
+        B, T = prompt_ids.shape
+        logits_fn, carry = self.core.make_lm_logits_fn(
+            params, T + sampling.max_new_tokens, B
+        )
+        return generate(logits_fn, carry, prompt_ids, prompt_mask, key, sampling)
+
+    def generate_from_strs(
+        self,
+        params,
+        prompts: Sequence[str],
+        max_input_length: int,
+        sampling: SamplingConfig,
+        key: jax.Array,
+    ) -> List[str]:
+        tok = self.tokenizer
+        ids = block_sequences(
+            [tok.encode(p) for p in prompts],
+            tok.pad_token_id,
+            np.int32,
+            BlockingStrategy(Padding.LEFT, Truncation.LEFT, max_input_length),
+        )
+        ids = jnp.asarray(ids)
+        mask = (ids != tok.pad_token_id).astype(jnp.int32)
+        tokens, token_mask = self.generate(params, ids, mask, sampling, key)
+        return [
+            tok.decode([int(t) for t, m in zip(row, mrow) if m])
+            for row, mrow in zip(np.asarray(tokens), np.asarray(token_mask))
+        ]
+
+
+@dataclass
+class GenerationPolicy(BatchedTextPolicy):
+    """histories → generate → append Text(output, True)
+    (value_rl_base/gpt2/interface.py:281-330). `generate_batch(prompts,
+    key) -> outputs` abstracts over LM vs value-guided serving."""
+
+    generate_batch: Callable[[List[str], jax.Array], List[str]]
+    key: jax.Array
+    in_str_process: Optional[Callable[[str], str]] = None
+    out_str_process: Optional[Callable[[str], str]] = None
+
+    def act(
+        self,
+        text_history: List[Optional[TextHistory]],
+        done: Optional[List[bool]] = None,
+    ) -> List[Optional[TextHistory]]:
+        if done is None:
+            done = [False] * len(text_history)
+        live_idx = [i for i, d in enumerate(done) if not d]
+        if not live_idx:
+            return [None] * len(text_history)
+        proc_in = self.in_str_process or (lambda s: s)
+        proc_out = self.out_str_process or (lambda s: s)
+        prompts = [proc_in(text_history_to_str(text_history[i])) for i in live_idx]
+        self.key, step_key = jax.random.split(self.key)
+        outputs = self.generate_batch(prompts, step_key)
+        results: List[Optional[TextHistory]] = [None] * len(text_history)
+        for i, raw_out, prompt in zip(live_idx, outputs, prompts):
+            out = proc_out(strip_prompt_from_completion(prompt, raw_out))
+            results[i] = text_history[i] + (Text(out, True),)
+        return results
+
+
+# ---------------- rerankers ----------------
+
+
+def score_action_tokens(
+    values: jax.Array,  # [b, t-1] per-token scores at positions x[:-1]
+    should_take_action: jax.Array,  # [b, t-1]
+    attention_mask: jax.Array,  # [b, t-1]
+) -> jax.Array:
+    """Σ over action tokens → [b]."""
+    mask = should_take_action.astype(jnp.float32) * attention_mask
+    return (values * mask).sum(axis=1)
+
+
+def make_ilql_score_fn(
+    core: LMCore,
+    q_head: nn.Module,
+    v_head: nn.Module,
+    params: ValueRLParams,
+    pad_token_id: int,
+    value_weight: float = 1.0,
+    logit_weight: Optional[float] = None,
+):
+    """score = Σ_action value_weight·(min(Q1,Q2)−V) + logit_weight·logπ_β
+    (ilql/gpt2/score_fn.py:11-68)."""
+
+    @jax.jit
+    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+        attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
+        _, hidden = core.forward(params.base, input_ids, attention_mask, position_ids)
+        nxt = input_ids[:, 1:][..., None]
+        q1 = jnp.take_along_axis(
+            q_head.apply({"params": params.q1_head}, hidden)[:, :-1], nxt, axis=2
+        ).squeeze(2)
+        if params.q2_head is not None:
+            q2 = jnp.take_along_axis(
+                q_head.apply({"params": params.q2_head}, hidden)[:, :-1], nxt, axis=2
+            ).squeeze(2)
+            q = jnp.minimum(q1, q2)
+        else:
+            q = q1
+        v = v_head.apply({"params": params.v_head}, hidden)[:, :-1].squeeze(2)
+        total = value_weight * (q - v)
+        if logit_weight is not None and params.pi_beta is not None:
+            logits, _ = core.forward(
+                params.pi_beta, input_ids, attention_mask, position_ids
+            )
+            logprobs = jax.nn.log_softmax(
+                mask_pad_logits(logits[:, :-1].astype(jnp.float32), core.config.vocab_size),
+                axis=-1,
+            )
+            logpi = jnp.take_along_axis(logprobs, nxt, axis=2).squeeze(2)
+            total = total + logit_weight * logpi
+        return score_action_tokens(
+            total, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
+        )
+
+    return score
+
+
+def make_mc_score_fn(
+    core: LMCore,
+    q_head: nn.Module,
+    params: ValueRLParams,
+    pad_token_id: int,
+):
+    """score = Σ_action Q (mc_returns/score_fn.py:10-60)."""
+
+    @jax.jit
+    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+        attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
+        _, hidden = core.forward(params.base, input_ids, attention_mask, position_ids)
+        nxt = input_ids[:, 1:][..., None]
+        q = jnp.take_along_axis(
+            q_head.apply({"params": params.q1_head}, hidden)[:, :-1], nxt, axis=2
+        ).squeeze(2)
+        return score_action_tokens(
+            q, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
+        )
+
+    return score
+
+
+def make_logprob_score_fn(core: LMCore, params, pad_token_id: int):
+    """score = Σ_action logπ (BC/PPO reranker, ppo/score_fn.py:10-126)."""
+
+    @jax.jit
+    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+        attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
+        logits, _ = core.forward(params, input_ids, attention_mask, position_ids)
+        logprobs = jax.nn.log_softmax(
+            mask_pad_logits(logits[:, :-1].astype(jnp.float32), core.config.vocab_size),
+            axis=-1,
+        )
+        logpi = jnp.take_along_axis(
+            logprobs, input_ids[:, 1:][..., None], axis=2
+        ).squeeze(2)
+        return score_action_tokens(
+            logpi, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
+        )
+
+    return score
+
+
+@dataclass
+class ReRankerPolicy(BatchedTextPolicy):
+    """Score a fixed proposal set per history and pick argmax
+    (ppo/reranker_policy.py:5-18). `proposal_fn(history) -> [history+action]`;
+    `score_batch(histories) -> scores`."""
+
+    proposal_fn: Callable[[TextHistory], List[TextHistory]]
+    score_batch: Callable[[List[TextHistory]], np.ndarray]
+    sample: bool = False
+    temperature: float = 1.0
+    rng: Optional[np.random.Generator] = None
+
+    def act(self, text_history, done=None):
+        if done is None:
+            done = [False] * len(text_history)
+        results: List[Optional[TextHistory]] = [None] * len(text_history)
+        live = [i for i, d in enumerate(done) if not d]
+        if not live:
+            return results
+        all_proposals: List[TextHistory] = []
+        spans = []
+        for i in live:
+            props = self.proposal_fn(text_history[i])
+            spans.append((len(all_proposals), len(all_proposals) + len(props)))
+            all_proposals.extend(props)
+        scores = np.asarray(self.score_batch(all_proposals))
+        for i, (s, e) in zip(live, spans):
+            sub = scores[s:e]
+            if self.sample:
+                rng = self.rng or np.random.default_rng()
+                z = sub / self.temperature
+                p = np.exp(z - z.max())
+                p /= p.sum()
+                choice = rng.choice(len(sub), p=p)
+            else:
+                choice = int(np.argmax(sub))
+            results[i] = all_proposals[s + choice]
+        return results
+
+
+def tokenize_histories_for_scoring(
+    histories: List[TextHistory],
+    tokenizer,
+    max_length: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (input_ids [b,t], action_mask [b,t]); padded RIGHT, truncated LEFT."""
+    from lmrl_gym_tpu.text.frames import TokenHistory
+
+    token_histories = [
+        TokenHistory.from_text_history(h, tokenizer) for h in histories
+    ]
+    strategy = BlockingStrategy(Padding.RIGHT, Truncation.LEFT, max_length)
+    ids = block_sequences(
+        [th.tokens for th in token_histories], tokenizer.pad_token_id, np.int32, strategy
+    )
+    am = block_sequences(
+        [th.is_action for th in token_histories], False, np.bool_, strategy
+    )
+    return jnp.asarray(ids), jnp.asarray(am)
