@@ -301,3 +301,72 @@ class TestArrayDataset:
         assert all(b["x"].shape == (3,) for b in batches)
         seen = np.concatenate([b["x"] for b in batches])
         assert len(np.unique(seen)) == 9
+
+
+class TestCQLStep:
+    def test_loss_decreases(self):
+        import optax
+        from lmrl_gym_tpu.algos.cql import (
+            CQLConfig,
+            init_cql_state,
+            make_cql_train_step,
+        )
+
+        core = LMCore(CFG)
+        base_params = init_params(CFG, KEY)
+        q_cfg = MLPHeadConfig(
+            input_dim=CFG.hidden_size,
+            hidden_dim=128,
+            output_dim=CFG.padded_vocab_size,
+            layer2_initializer_range=0.0,
+        )
+        q_head = MLPHead(q_cfg)
+        ks = jax.random.split(KEY, 2)
+        config = CQLConfig(polyak_alpha=0.05)
+        state = init_cql_state(
+            base_params,
+            init_head_params(q_head, CFG.hidden_size, ks[0]),
+            init_head_params(q_head, CFG.hidden_size, ks[1]),
+            optax.adam(1e-4),
+            optax.adam(1e-3),
+            config,
+        )
+        step = make_cql_train_step(core, q_head, config, TOK.pad_token_id)
+        batch = _ilql_batch()
+        losses = []
+        for i in range(8):
+            state, loss, logs = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_no_next_tokens_path(self):
+        import optax
+        from lmrl_gym_tpu.algos.cql import (
+            CQLConfig,
+            init_cql_state,
+            make_cql_train_step,
+        )
+
+        core = LMCore(CFG)
+        q_cfg = MLPHeadConfig(
+            input_dim=CFG.hidden_size,
+            hidden_dim=128,
+            output_dim=CFG.padded_vocab_size,
+            layer2_initializer_range=0.0,
+        )
+        q_head = MLPHead(q_cfg)
+        config = CQLConfig(use_separate_target_base=False)
+        state = init_cql_state(
+            init_params(CFG, KEY),
+            init_head_params(q_head, CFG.hidden_size, KEY),
+            init_head_params(q_head, CFG.hidden_size, jax.random.PRNGKey(2)),
+            optax.adam(1e-4),
+            optax.adam(1e-3),
+            config,
+        )
+        step = make_cql_train_step(core, q_head, config, TOK.pad_token_id)
+        b = _ilql_batch()
+        batch = ILQLBatch(b.input_ids, b.should_take_action, b.rewards, b.dones, None, None)
+        state, loss, _ = step(state, batch, KEY)
+        assert np.isfinite(float(loss))
