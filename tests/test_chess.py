@@ -1,0 +1,239 @@
+"""Chess: native engine rules (perft-validated), env semantics, eval harness."""
+import random
+
+import numpy as np
+import pytest
+
+from lmrl_gym_tpu.envs.base import TextPolicy
+from lmrl_gym_tpu.envs.chess.engine import (
+    Board,
+    CHECKMATE,
+    DRAW_50,
+    ONGOING,
+    STALEMATE,
+    STARTING_FEN,
+    best_move_san,
+    perft,
+    random_move_san,
+)
+from lmrl_gym_tpu.envs.chess.env import (
+    ChessGame,
+    FenChessEnv,
+    large_piece_random_endgame,
+    postprocess_move,
+    postprocess_state,
+    preprocess_move,
+    preprocess_state,
+    text_env_eval_chess_positions,
+)
+from lmrl_gym_tpu.text.frames import Text
+
+
+class TestRules:
+    def test_perft_startpos(self):
+        assert perft(STARTING_FEN, 3) == 8902
+
+    def test_perft_kiwipete(self):
+        fen = "r3k2r/p1ppqpb1/bn2pnp1/3PN3/1p2P3/2N2Q1p/PPPBBPPP/R3K2R w KQkq - 0 1"
+        assert perft(fen, 2) == 2039
+
+    def test_legal_moves_startpos(self):
+        b = Board()
+        moves = b.legal_moves_san()
+        assert len(moves) == 20
+        assert "e4" in moves and "Nf3" in moves
+
+    def test_push_san_and_fen(self):
+        b = Board()
+        assert b.push_san("e4")
+        assert b.fen.startswith("rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq e3")
+        assert not b.push_san("zz9")  # unparseable
+        assert not b.push_san("e9")  # off-board / illegal
+
+    def test_scholars_mate(self):
+        b = Board()
+        for mv in ["e4", "e5", "Bc4", "Nc6", "Qh5", "Nf6", "Qxf7#"]:
+            assert b.push_san(mv), mv
+        assert b.is_checkmate()
+
+    def test_stalemate(self):
+        # classic stalemate: black to move, no moves, not in check
+        b = Board("7k/5Q2/6K1/8/8/8/8/8 b - - 0 1")
+        assert b.game_state() == STALEMATE
+
+    def test_insufficient_material(self):
+        b = Board("8/8/8/4k3/8/8/4K3/8 w - - 0 1")
+        assert b.is_game_over()
+
+    def test_san_disambiguation(self):
+        # two knights can reach d2: Nbd2 / Nfd2
+        b = Board("rnbqkb1r/pppppppp/8/8/8/5N2/PPPPPPPP/RNBQKB1R w KQkq - 0 1")
+        b2 = Board(b.fen)
+        assert b.push_san("Nc3")  # sanity
+        moves = b2.legal_moves_san()
+        assert any(m.startswith("N") for m in moves)
+
+
+class TestEngine:
+    def test_best_move_finds_mate_in_one(self):
+        # white: Qh5xf7 is mate (scholar's mate position)
+        fen = "r1bqkbnr/pppp1ppp/2n5/4p2Q/2B1P3/8/PPPP1PPP/RNB1K1NR w KQkq - 0 1"
+        mv = best_move_san(fen, elo=2400)
+        b = Board(fen)
+        assert b.push_san(mv)
+        assert b.is_checkmate(), f"engine played {mv}, not mate"
+
+    def test_random_move_is_legal(self):
+        for seed in range(5):
+            mv = random_move_san(STARTING_FEN, seed=seed)
+            b = Board()
+            assert b.push_san(mv)
+
+    def test_elo_determinism(self):
+        a = best_move_san(STARTING_FEN, elo=1200, seed=42)
+        b = best_move_san(STARTING_FEN, elo=1200, seed=42)
+        assert a == b
+
+
+class TestTextProtocol:
+    def test_move_roundtrip(self):
+        assert preprocess_move("Nf3") == "N f 3\n"
+        assert postprocess_move("N f 3\n") == "Nf3"
+
+    def test_state_roundtrip(self):
+        fen = "8/8/8/4k3/8/8/4K3/8 w - - 0 1"
+        spelled = preprocess_state(fen)
+        assert postprocess_state(spelled) == fen
+
+
+class TestChessGame:
+    def test_illegal_move_continues(self):
+        game = ChessGame(rng=random.Random(0))
+        fen, reward, done, info = game.step("Qh5")  # illegal at start
+        assert reward == -1.0 and not done
+        assert fen == STARTING_FEN  # board unchanged
+
+    def test_legal_move_opponent_replies(self):
+        game = ChessGame(rng=random.Random(0), opponent_elo=1200)
+        fen, reward, done, info = game.step("e4")
+        assert reward == 0.0 and not done
+        assert info["opponent move"] is not None
+        assert fen.split()[1] == "w"  # back to agent's turn
+
+    def test_agent_checkmate_wins(self):
+        # position where Qxf7# is available
+        fen = "r1bqkbnr/pppp1ppp/2n5/4p2Q/2B1P3/8/PPPP1PPP/RNB1K1NR w KQkq - 0 1"
+        game = ChessGame(from_position=fen, rng=random.Random(0))
+        _, reward, done, _ = game.step("Qxf7#")
+        assert reward == 1.0 and done
+
+    def test_kqk_endgame_engine_wins_eventually(self):
+        """Engine at full strength playing the agent side should convert
+        KQ-vs-K; here we just verify the env loop terminates legally with
+        the engine as BOTH sides driver (agent moves from engine)."""
+        fen = large_piece_random_endgame("kQK", rng=random.Random(3))
+        game = ChessGame(from_position=fen, rng=random.Random(0), opponent_elo=1200)
+        total_reward, done = 0.0, False
+        for i in range(60):
+            mv = best_move_san(game.board.fen, elo=2400, seed=i)
+            if mv is None:
+                break
+            _, r, done, _ = game.step(mv)
+            total_reward += r
+            if done:
+                break
+        assert done, "KQ-vs-K did not finish in 60 plies"
+        assert total_reward >= 0.0
+
+
+class TestEnv:
+    def test_fen_env_episode(self):
+        env = FenChessEnv(max_moves=10, random_opponent=True)
+        obs = env.reset(seed=0)
+        assert not obs[0].is_action
+        # obs is the FEN spelled char by char
+        assert postprocess_state(obs[0].text) == STARTING_FEN
+        history = obs + (Text(preprocess_move("e4"), True),)
+        new_obs, reward, done = env.step(history)
+        assert reward == 0.0
+        assert len(new_obs) == 1  # Markov: single state text
+
+    def test_endgame_generator(self):
+        rng = random.Random(7)
+        for _ in range(3):
+            fen = large_piece_random_endgame("kQK", rng=rng)
+            b = Board(fen)
+            assert not b.in_check()
+            assert len(b.legal_moves_san()) > 0
+            parts = fen.split()
+            assert parts[1] == "w"
+
+    def test_eval_harness(self):
+        class EngineAgentPolicy(TextPolicy):
+            """Plays the native engine's best move (a strong 'agent')."""
+
+            def __init__(self):
+                self.i = 0
+
+            def act(self, text_history):
+                fen = postprocess_state(text_history[-1].text)
+                self.i += 1
+                mv = best_move_san(fen, elo=2400, seed=self.i)
+                return text_history + (Text(preprocess_move(mv), True),)
+
+        positions = [large_piece_random_endgame("kQK", rng=random.Random(11))]
+        interactions, summary = text_env_eval_chess_positions(
+            positions,
+            EngineAgentPolicy(),
+            n_rollouts=2,
+            seed_generator=iter(range(10)),
+            random_opponent=True,
+            max_moves=60,
+        )
+        assert summary["percent_illegals"]["mean"] == 0.0
+        assert summary["done"]["mean"] == 1.0
+        # a 2400-elo engine with KQ vs lone K should win
+        assert summary["victories"]["mean"] == 1.0
+
+
+class TestChessData:
+    def test_chains_from_jsonl(self):
+        import json
+        from lmrl_gym_tpu.envs.chess.data import chains_from_jsonl
+
+        # note: games ending with done=True are NOT followed by a blank
+        # separator (blank lines separate truncated games; a blank after a
+        # done record ends parsing — reference chess/env/data.py:89-106
+        # behaves identically)
+        lines = [
+            json.dumps({"from_state": STARTING_FEN, "action": "e4", "reward": 0, "done": False}),
+            json.dumps({"from_state": "x", "action": "Nf3", "reward": 1, "done": True}),
+            json.dumps({"from_state": STARTING_FEN, "action": "d4", "reward": -1, "done": True}),
+        ]
+        chains = chains_from_jsonl(lines)
+        assert len(chains) == 2
+        links = chains[0].to_list()
+        assert len(links) == 2
+        assert links[0].reward == (0.0, 0.0)
+        assert links[1].reward == (0.0, 1.0)
+        assert links[1].done
+
+    def test_selfplay_games(self):
+        from lmrl_gym_tpu.envs.chess.data import generate_selfplay_games
+        from lmrl_gym_tpu.envs.chess.env import large_piece_random_endgame
+
+        chains = generate_selfplay_games(
+            2,
+            from_position_fn=lambda rng: large_piece_random_endgame("kQK", rng=rng),
+            agent_elo=2400,
+            max_moves=40,
+            seed=0,
+        )
+        assert len(chains) == 2
+        for chain in chains:
+            links = chain.to_list()
+            assert links[-1].done
+            # every window is a (state, action) pair
+            for tt in links:
+                assert len(tt.text_history) == 2
+                assert tt.text_history[1].is_action
