@@ -16,7 +16,104 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def bench_ilql():
+    """Secondary metric (BENCH_MODE=ilql): ILQL updates/s on GPT-2-small-
+    class model, batch 32 × seq 160 — the BASELINE 'ILQL updates/s (GPT-2)'
+    row (no reference number exists; measured for the record)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from lmrl_gym_tpu.algos.ilql import (
+        ILQLBatch,
+        ILQLConfig,
+        init_ilql_state,
+        make_ilql_train_step,
+    )
+    from lmrl_gym_tpu.models.config import TransformerConfig
+    from lmrl_gym_tpu.models.heads import MLPHead, MLPHeadConfig, init_head_params
+    from lmrl_gym_tpu.models.interface import LMCore
+    from lmrl_gym_tpu.models.transformer import init_params
+
+    B = int(os.environ.get("BENCH_BATCH", 32))
+    T = int(os.environ.get("BENCH_SEQ", 160))
+    REPS = int(os.environ.get("BENCH_REPS", 20))
+
+    config = TransformerConfig(
+        vocab_size=259,
+        hidden_size=768,
+        num_layers=12,
+        num_heads=12,
+        max_position_embeddings=1024,
+        pad_vocab_to_multiple=64,
+        embd_pdrop=0.0,
+        resid_pdrop=0.0,
+        attn_pdrop=0.0,
+    )
+    core = LMCore(config)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    q_cfg = MLPHeadConfig(
+        input_dim=config.hidden_size,
+        hidden_dim=2 * config.hidden_size,
+        output_dim=config.padded_vocab_size,
+        layer2_initializer_range=0.0,
+    )
+    v_cfg = MLPHeadConfig(
+        input_dim=config.hidden_size,
+        hidden_dim=2 * config.hidden_size,
+        output_dim=1,
+        layer2_initializer_range=0.0,
+    )
+    q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
+    ilql_config = ILQLConfig()
+    state = init_ilql_state(
+        init_params(config, ks[0]),
+        init_head_params(q_head, config.hidden_size, ks[1]),
+        init_head_params(q_head, config.hidden_size, ks[2]),
+        init_head_params(v_head, config.hidden_size, ks[3]),
+        optax.adamw(1e-4),
+        optax.adamw(1e-3),
+        ilql_config,
+    )
+    step = make_ilql_train_step(core, q_head, v_head, ilql_config, pad_token_id=256)
+
+    rng = np.random.default_rng(0)
+    sta = np.zeros((B, T - 1), bool)
+    sta[:, 1::2] = True
+    batch = ILQLBatch(
+        input_ids=jnp.asarray(rng.integers(1, 256, (B, T)), jnp.int32),
+        should_take_action=jnp.asarray(sta),
+        rewards=jnp.asarray(-1.0 * sta, jnp.float32),
+        dones=jnp.zeros((B,), bool),
+        next_token_ids=jnp.asarray(rng.integers(1, 256, (B, 16)), jnp.int32),
+        next_dones=jnp.ones((B,), bool),
+    )
+    state, loss, _ = step(state, batch, jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(REPS):
+        state, loss, _ = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    updates_per_s = REPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ilql_updates_per_s_gpt2small",
+                "value": round(updates_per_s, 3),
+                "unit": "updates/s",
+                "vs_baseline": round(updates_per_s, 3),
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "ilql":
+        bench_ilql()
+        return
     import jax
 
     from lmrl_gym_tpu.envs.wordle.vector import (

@@ -58,7 +58,19 @@ def block_ilql_examples(
     pad_token_id: int,
 ) -> Dict[str, Optional[np.ndarray]]:
     has_next = any(e.next_token_ids is not None for e in examples)
-    assert has_next or all(e.next_token_ids is None for e in examples)
+    if has_next:
+        # chain-final windows have no successor: bootstrap with an empty
+        # next window marked done (v_final multiplies by (1-next_done)=0,
+        # so the pad forward contributes nothing)
+        examples = [
+            e
+            if e.next_token_ids is not None
+            else e._replace(
+                next_token_ids=np.zeros((0,), np.int32),
+                next_done=np.asarray(True),
+            )
+            for e in examples
+        ]
     shifted = BlockingStrategy(
         strategy.padding, strategy.truncation, strategy.max_length - 1
     )
@@ -203,6 +215,9 @@ class ArrayDataset:
         if rng is not None:
             rng.shuffle(idx)
         end = self.size - (self.size % batch_size) if drop_last else self.size
+        if end == 0:
+            # dataset smaller than one batch: yield it rather than nothing
+            end = self.size
         for start in range(0, end, batch_size):
             sel = idx[start : start + batch_size]
             yield {

@@ -1,0 +1,550 @@
+"""Unified training CLI — the reference's llm_rl_scripts entry points.
+
+    python -m lmrl_gym_tpu.cli.train --task maze --algo bc --n-data 200 \
+        --epochs 4 --model-size tiny --save-dir outputs/maze_bc
+
+Covers every task × {bc, filtered_bc, ilql, mc, cql, ppo} with scripted-
+policy behavior data (SURVEY §2.10), periodic env-rollout eval through
+the real serve path, and checkpointing. argparse replaces the
+reference's tyro (unavailable offline).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training.train_state import TrainState
+
+from lmrl_gym_tpu.algos import data as algo_data
+from lmrl_gym_tpu.algos.bc import BCBatch, BCConfig, BCTrainState, make_bc_train_step
+from lmrl_gym_tpu.algos.cql import CQLConfig, init_cql_state, make_cql_train_step
+from lmrl_gym_tpu.algos.ilql import (
+    ILQLBatch,
+    ILQLConfig,
+    init_ilql_state,
+    make_ilql_train_step,
+)
+from lmrl_gym_tpu.algos.mc import MCBatch, MCConfig, MCTrainState, make_mc_train_step
+from lmrl_gym_tpu.algos.ppo import (
+    PPOBatch,
+    PPOConfig,
+    PPOTrainState,
+    block_ppo_data,
+    get_ppo_data_from_chains,
+    make_ppo_forward_fn,
+    make_ppo_train_step,
+)
+from lmrl_gym_tpu.algos.value_policy import (
+    GenerationPolicy,
+    LMServer,
+    ValueGuidedServer,
+    ValueRLParams,
+)
+from lmrl_gym_tpu.cli.tasks import TASKS
+from lmrl_gym_tpu.core.blocking import BlockingStrategy, Padding, Truncation
+from lmrl_gym_tpu.core.experiment import setup_experiment_save
+from lmrl_gym_tpu.core.optimizer import OptimizerConfig, make_optimizer
+from lmrl_gym_tpu.core.profiling import Throughput
+from lmrl_gym_tpu.envs.base import text_env_eval
+from lmrl_gym_tpu.loops.offline import OfflineLoopConfig, offline_train_loop
+from lmrl_gym_tpu.models.config import (
+    TransformerConfig,
+    gpt2_medium,
+    gpt2_small,
+    tiny_test_config,
+)
+from lmrl_gym_tpu.models.generation import SamplingConfig
+from lmrl_gym_tpu.models.heads import (
+    LinearHead,
+    LinearHeadConfig,
+    MLPHead,
+    MLPHeadConfig,
+    init_head_params,
+)
+from lmrl_gym_tpu.models.interface import LMCore
+from lmrl_gym_tpu.models.transformer import init_params
+from lmrl_gym_tpu.parallel.mesh import (
+    load_mesh,
+    match_partition_rules,
+    refine_specs_for_shapes,
+    shard_pytree,
+)
+from lmrl_gym_tpu.text.frames import TokenTrajectoryChain
+from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
+
+MODEL_SIZES = {
+    "tiny": lambda: tiny_test_config(
+        hidden_size=128, num_layers=4, num_heads=4, max_position_embeddings=1280
+    ),
+    "small": lambda: TransformerConfig(
+        vocab_size=259,
+        hidden_size=512,
+        num_layers=8,
+        num_heads=8,
+        max_position_embeddings=1280,
+        pad_vocab_to_multiple=64,
+        embd_pdrop=0.0,
+        resid_pdrop=0.0,
+        attn_pdrop=0.0,
+    ),
+    "gpt2-small": lambda: gpt2_small().replace(vocab_size=259, pad_vocab_to_multiple=64),
+    "gpt2-medium": lambda: gpt2_medium().replace(vocab_size=259, pad_vocab_to_multiple=64),
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", choices=sorted(TASKS), required=True)
+    p.add_argument(
+        "--algo",
+        choices=["bc", "filtered_bc", "ilql", "mc", "cql", "ppo"],
+        required=True,
+    )
+    p.add_argument("--model-size", choices=sorted(MODEL_SIZES), default="tiny")
+    p.add_argument("--n-data", type=int, default=200, help="episodes of behavior data")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--train-bsize", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--head-lr", type=float, default=1e-3)
+    p.add_argument("--max-length", type=int, default=None)
+    p.add_argument("--mesh", type=str, default="1,-1,1", help="dp,fsdp,mp")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-dir", type=str, default=None)
+    p.add_argument("--exp-name", type=str, default=None)
+    p.add_argument("--eval-rollouts", type=int, default=8)
+    p.add_argument("--eval-every-epochs", type=int, default=1)
+    p.add_argument("--eval-max-new-tokens", type=int, default=32)
+    p.add_argument("--log-every", type=int, default=64)
+    # algo knobs
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--tau", type=float, default=0.7)
+    p.add_argument("--cql-weight", type=float, default=0.01)
+    p.add_argument("--beta", type=float, default=8.0)
+    p.add_argument("--polyak-alpha", type=float, default=0.005)
+    p.add_argument("--filter-top-frac", type=float, default=0.3)
+    p.add_argument("--ppo-kl-weight", type=float, default=0.01)
+    p.add_argument("--ppo-lam", type=float, default=0.95)
+    p.add_argument("--no-eval", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_model(args):
+    config = MODEL_SIZES[args.model_size]()
+    tokenizer = ByteTokenizer()
+    assert config.vocab_size >= tokenizer.vocab_size
+    core = LMCore(config)
+    return config, tokenizer, core
+
+
+def build_sharded_params(config, mesh, key):
+    params = init_params(config, key)
+    specs = refine_specs_for_shapes(
+        match_partition_rules(config.partition_rules(), params), params, mesh
+    )
+    return shard_pytree(params, specs, mesh)
+
+
+def build_head(kind: str, config, mesh, key, output_dim: Optional[int] = None, bias_init: float = 0.0):
+    if kind == "mlp":
+        head_cfg = MLPHeadConfig(
+            input_dim=config.hidden_size,
+            hidden_dim=2 * config.hidden_size,
+            output_dim=output_dim or config.padded_vocab_size,
+            layer2_initializer_range=0.0,
+            layer2_bias_init=0.0,
+        )
+        head = MLPHead(head_cfg)
+    else:
+        head_cfg = LinearHeadConfig(
+            input_dim=config.hidden_size,
+            output_dim=output_dim or 1,
+            bias_init=bias_init,
+        )
+        head = LinearHead(head_cfg)
+    params = init_head_params(head, config.hidden_size, key)
+    specs = refine_specs_for_shapes(
+        match_partition_rules(head_cfg.partition_rules(), params), params, mesh
+    )
+    return head, head_cfg, shard_pytree(params, specs, mesh)
+
+
+def make_policy_evaluator(args, task, tokenizer, core, get_params):
+    """Evaluator: env rollouts through the serve path; perf = mean reward."""
+
+    sampling = SamplingConfig(
+        max_new_tokens=args.eval_max_new_tokens,
+        greedy=True,
+        eos_token_id=ord("\n"),
+        pad_token_id=tokenizer.pad_token_id,
+    )
+    max_len = args.max_length or task.max_length
+
+    server = LMServer(core, tokenizer)
+
+    def evaluator(train_state):
+        params = get_params(train_state)
+        key = jax.random.PRNGKey(args.seed + 1234)
+
+        def generate_batch(prompts, step_key):
+            outs = server.generate_from_strs(
+                params, prompts, max_len, sampling, step_key
+            )
+            return [p + o for p, o in zip(prompts, outs)]
+
+        policy = GenerationPolicy(generate_batch=generate_batch, key=key)
+        env = task.build_env()
+        _, summary = text_env_eval(
+            env,
+            policy,
+            n_rollouts=args.eval_rollouts,
+            seed_generator=iter(range(10_000, 10_000 + args.eval_rollouts)),
+            bsize=min(args.eval_rollouts, 8),
+        )
+        return summary["reward"]["mean"], summary
+
+    return evaluator
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    task = TASKS[args.task]
+    max_length = args.max_length or task.max_length
+
+    save_dir, exp_name = setup_experiment_save(
+        args.exp_name, args.save_dir, vars(args), __file__
+    )
+    print(f"experiment: {exp_name} save_dir: {save_dir}")
+
+    mesh_shape = tuple(int(x) for x in args.mesh.split(","))
+    mesh = load_mesh(mesh_shape)
+    config, tokenizer, core = build_model(args)
+    key = jax.random.PRNGKey(args.seed)
+
+    print(f"generating {args.n_data} behavior episodes for {args.task}...")
+    chains = task.generate_chains(args.n_data, args.seed)
+    token_chains = [
+        TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
+    ]
+    strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_length)
+
+    loop_config = OfflineLoopConfig(
+        epochs=args.epochs,
+        train_bsize=args.train_bsize,
+        log_every=args.log_every,
+        eval_every_epochs=None if args.no_eval else args.eval_every_epochs,
+        save_dir=save_dir,
+        seed=args.seed,
+    )
+
+    if args.algo in ("bc", "filtered_bc"):
+        run_bc(args, task, config, tokenizer, core, mesh, key, chains, token_chains, strategy, loop_config)
+    elif args.algo in ("ilql", "cql"):
+        run_ilql_family(args, task, config, tokenizer, core, mesh, key, token_chains, strategy, loop_config)
+    elif args.algo == "mc":
+        run_mc(args, task, config, tokenizer, core, mesh, key, token_chains, strategy, loop_config)
+    elif args.algo == "ppo":
+        run_ppo(args, task, config, tokenizer, core, mesh, key, token_chains, strategy, loop_config)
+    else:
+        raise ValueError(args.algo)
+
+
+def _flatten_chain_windows(token_chains):
+    out = []
+    for chain in token_chains:
+        out.extend(chain.to_list())
+    return out
+
+
+def run_bc(args, task, config, tokenizer, core, mesh, key, chains, token_chains, strategy, loop_config):
+    windows = _flatten_chain_windows(token_chains)
+    if args.algo == "filtered_bc":
+        # %BC: keep top-fraction chains by total reward, then their windows
+        scored = [(sum(sum(tt.reward) for tt in c.to_list()), c) for c in token_chains]
+        keep = algo_data.filter_items(lambda x: x[0], scored, args.filter_top_frac)
+        windows = _flatten_chain_windows([c for _, c in keep])
+        print(f"%BC filter: kept {len(keep)}/{len(token_chains)} chains")
+    examples = [
+        algo_data.BCExample.from_segments(tt.tokens, tt.is_action) for tt in windows
+    ]
+    dataset = algo_data.ArrayDataset(
+        algo_data.block_bc_examples(examples, strategy, tokenizer.pad_token_id)
+    )
+    params = build_sharded_params(config, mesh, key)
+    state = BCTrainState(
+        model=TrainState.create(
+            apply_fn=None,
+            params=params,
+            tx=make_optimizer(OptimizerConfig(lr=args.lr), params),
+        )
+    )
+    step = make_bc_train_step(core, BCConfig(), tokenizer.pad_token_id, mesh)
+
+    def batch_prep(b):
+        return BCBatch(jnp.asarray(b["input_ids"]), jnp.asarray(b["training_mask"]))
+
+    evaluator = None
+    if not args.no_eval:
+        evaluator = make_policy_evaluator(
+            args, task, tokenizer, core, lambda s: s.model.params
+        )
+
+    state, loop_state = offline_train_loop(
+        state,
+        step,
+        dataset,
+        loop_config,
+        batch_prep=batch_prep,
+        evaluator=evaluator,
+        module_getter=lambda s: {"base": s.model},
+        module_configs={"base": config.to_dict()},
+    )
+    print(f"done: {loop_state.step} steps, best_perf={loop_state.best_perf}")
+
+
+def run_ilql_family(args, task, config, tokenizer, core, mesh, key, token_chains, strategy, loop_config):
+    examples = []
+    for chain in token_chains:
+        curr = chain
+        while curr is not None:
+            examples.append(algo_data.ILQLExample.from_chain(curr))
+            curr = curr.next
+    blocked = algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
+    dataset = algo_data.ArrayDataset(blocked)
+
+    ks = jax.random.split(key, 5)
+    base_params = build_sharded_params(config, mesh, ks[0])
+    q_head, q_cfg, q1_params = build_head("mlp", config, mesh, ks[1])
+    _, _, q2_params = build_head("mlp", config, mesh, ks[2])
+    v_head, v_cfg, v_params = build_head("mlp", config, mesh, ks[3], output_dim=1)
+
+    base_tx = make_optimizer(OptimizerConfig(lr=args.lr), base_params)
+    head_tx = make_optimizer(OptimizerConfig(lr=args.head_lr), q1_params)
+
+    if args.algo == "ilql":
+        algo_config = ILQLConfig(
+            gamma=args.gamma,
+            tau=args.tau,
+            cql_weight=args.cql_weight,
+            beta=args.beta,
+            polyak_alpha=args.polyak_alpha,
+        )
+        state = init_ilql_state(
+            base_params, q1_params, q2_params, v_params, base_tx, head_tx, algo_config
+        )
+        step = make_ilql_train_step(
+            core, q_head, v_head, algo_config, tokenizer.pad_token_id, mesh
+        )
+        modules = lambda s: {
+            "base": s.base,
+            "target_base": s.target_base_params,
+            "q1_head": s.q1_head,
+            "q2_head": s.q2_head,
+            "v_head": s.v_head,
+            "q1_target_head": s.q1_target_params,
+            "q2_target_head": s.q2_target_params,
+        }
+    else:  # cql
+        algo_config = CQLConfig(
+            gamma=args.gamma,
+            cql_weight=args.cql_weight,
+            beta=args.beta,
+            polyak_alpha=args.polyak_alpha,
+        )
+        state = init_cql_state(
+            base_params, q1_params, q2_params, base_tx, head_tx, algo_config
+        )
+        step = make_cql_train_step(
+            core, q_head, algo_config, tokenizer.pad_token_id, mesh
+        )
+        modules = lambda s: {
+            "base": s.base,
+            "target_base": s.target_base_params,
+            "q1_head": s.q1_head,
+            "q2_head": s.q2_head,
+            "q1_target_head": s.q1_target_params,
+            "q2_target_head": s.q2_target_params,
+        }
+
+    def batch_prep(b):
+        return ILQLBatch(
+            input_ids=jnp.asarray(b["input_ids"]),
+            should_take_action=jnp.asarray(b["should_take_action"]),
+            rewards=jnp.asarray(b["rewards"]),
+            dones=jnp.asarray(b["dones"]),
+            next_token_ids=None if b.get("next_token_ids") is None else jnp.asarray(b["next_token_ids"]),
+            next_dones=None if b.get("next_dones") is None else jnp.asarray(b["next_dones"]),
+        )
+
+    evaluator = None
+    if not args.no_eval:
+        def evaluator(train_state):
+            bundle = ValueRLParams(
+                pi_beta=None,
+                base=train_state.base.params,
+                q1_head=train_state.q1_head.params,
+                q2_head=train_state.q2_head.params,
+                v_head=train_state.v_head.params if args.algo == "ilql" else None,
+            )
+            server = ValueGuidedServer(
+                core,
+                q_head,
+                v_head if args.algo == "ilql" else None,
+                tokenizer,
+                beta=args.beta,
+                share_trunk=True,
+            )
+            sampling = SamplingConfig(
+                max_new_tokens=args.eval_max_new_tokens,
+                greedy=True,
+                eos_token_id=ord("\n"),
+                pad_token_id=tokenizer.pad_token_id,
+            )
+            key = jax.random.PRNGKey(args.seed + 999)
+
+            def generate_batch(prompts, step_key):
+                outs = server.generate_from_strs(
+                    bundle, prompts, args.max_length or task.max_length, sampling, step_key
+                )
+                return [p + o for p, o in zip(prompts, outs)]
+
+            policy = GenerationPolicy(generate_batch=generate_batch, key=key)
+            env = task.build_env()
+            _, summary = text_env_eval(
+                env,
+                policy,
+                n_rollouts=args.eval_rollouts,
+                seed_generator=iter(range(10_000, 10_000 + args.eval_rollouts)),
+                bsize=min(args.eval_rollouts, 8),
+            )
+            return summary["reward"]["mean"], summary
+
+    state, loop_state = offline_train_loop(
+        state,
+        step,
+        dataset,
+        loop_config,
+        batch_prep=batch_prep,
+        evaluator=evaluator,
+        module_getter=modules,
+        module_configs={"base": config.to_dict()},
+    )
+    print(f"done: {loop_state.step} steps, best_perf={loop_state.best_perf}")
+
+
+def run_mc(args, task, config, tokenizer, core, mesh, key, token_chains, strategy, loop_config):
+    examples = []
+    for chain in token_chains:
+        curr = chain
+        while curr is not None:
+            examples.append(algo_data.MCExample.from_chain(curr, gamma=args.gamma))
+            curr = curr.next
+    dataset = algo_data.ArrayDataset(
+        algo_data.block_mc_examples(examples, strategy, tokenizer.pad_token_id)
+    )
+    ks = jax.random.split(key, 2)
+    base_params = build_sharded_params(config, mesh, ks[0])
+    q_head, q_cfg, q_params = build_head("mlp", config, mesh, ks[1])
+    state = MCTrainState(
+        base=TrainState.create(
+            apply_fn=None, params=base_params,
+            tx=make_optimizer(OptimizerConfig(lr=args.lr), base_params),
+        ),
+        q_head=TrainState.create(
+            apply_fn=None, params=q_params,
+            tx=make_optimizer(OptimizerConfig(lr=args.head_lr), q_params),
+        ),
+    )
+    algo_config = MCConfig(gamma=args.gamma, cql_weight=args.cql_weight, beta=args.beta)
+    step = make_mc_train_step(core, q_head, algo_config, tokenizer.pad_token_id, mesh)
+
+    def batch_prep(b):
+        return MCBatch(
+            input_ids=jnp.asarray(b["input_ids"]),
+            should_take_action=jnp.asarray(b["should_take_action"]),
+            returns=jnp.asarray(b["returns"]),
+        )
+
+    state, loop_state = offline_train_loop(
+        state,
+        step,
+        dataset,
+        loop_config,
+        batch_prep=batch_prep,
+        module_getter=lambda s: {"base": s.base, "q_head": s.q_head},
+        module_configs={"base": config.to_dict()},
+    )
+    print(f"done: {loop_state.step} steps")
+
+
+def run_ppo(args, task, config, tokenizer, core, mesh, key, token_chains, strategy, loop_config):
+    """Offline PPO: fixed chains → PPOData per epoch with refreshed
+    logprobs/values (the chess-endgames offline PPO pattern,
+    train_ppo_gpt2_offline_endgames.py:269-290)."""
+    ks = jax.random.split(key, 3)
+    policy_params = build_sharded_params(config, mesh, ks[0])
+    init_policy_params = jax.tree.map(jnp.array, policy_params)
+    value_head, vh_cfg, vh_params = build_head(
+        "linear", config, mesh, ks[1], output_dim=1
+    )
+    state = PPOTrainState(
+        policy=TrainState.create(
+            apply_fn=None, params=policy_params,
+            tx=make_optimizer(OptimizerConfig(lr=args.lr), policy_params),
+        ),
+        value_head=TrainState.create(
+            apply_fn=None, params=vh_params,
+            tx=make_optimizer(OptimizerConfig(lr=args.head_lr), vh_params),
+        ),
+    )
+    algo_config = PPOConfig(gamma=args.gamma, lam=args.ppo_lam)
+    step = make_ppo_train_step(
+        core, value_head, algo_config, tokenizer.pad_token_id, mesh
+    )
+    max_length = args.max_length or task.max_length
+
+    for epoch in range(args.epochs):
+        forward_fn = make_ppo_forward_fn(
+            core, value_head, init_policy_params,
+            state.policy.params, state.value_head.params, tokenizer.pad_token_id,
+        )
+        datas, kls = get_ppo_data_from_chains(
+            forward_fn, tokenizer, token_chains,
+            bsize=args.train_bsize, max_length=max_length,
+            gamma=args.gamma, lam=args.ppo_lam, kl_weight=args.ppo_kl_weight,
+        )
+        blocked = block_ppo_data(
+            datas, BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_length),
+            tokenizer.pad_token_id,
+        )
+        dataset = algo_data.ArrayDataset(blocked)
+        rng = np.random.default_rng(args.seed + epoch)
+        losses = []
+        for b in dataset.batches(args.train_bsize, rng=rng, drop_last=False):
+            key, step_key = jax.random.split(key)
+            batch = PPOBatch(
+                input_ids=jnp.asarray(b["input_ids"]),
+                should_take_action=jnp.asarray(b["should_take_action"]),
+                old_logprobs=jnp.asarray(b["old_logprobs"]),
+                old_values=jnp.asarray(b["old_values"]),
+                old_advantages=jnp.asarray(b["old_advantages"]),
+                old_returns=jnp.asarray(b["old_returns"]),
+            )
+            state, loss, logs = step(state, batch, step_key)
+            losses.append(float(loss))
+        print(
+            f"ppo epoch {epoch}: mean_kl={float(np.mean(kls)):.4f} "
+            f"mean_loss={float(np.mean(losses)):.4f} ({len(datas)} windows)"
+        )
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,9 +63,13 @@ def combine_logs(logs: List[Any]) -> Any:
             for leaf in leaves
         ]
         if key == "min":
-            return LogTuple(jnp.minimum(*[t.mean for t in tuples]) if len(tuples) > 1 else tuples[0].mean, 1)
+            from functools import reduce
+
+            return LogTuple(reduce(jnp.minimum, [t.mean for t in tuples]), 1)
         if key == "max":
-            return LogTuple(jnp.maximum(*[t.mean for t in tuples]) if len(tuples) > 1 else tuples[0].mean, 1)
+            from functools import reduce
+
+            return LogTuple(reduce(jnp.maximum, [t.mean for t in tuples]), 1)
         total = sum(t.count for t in tuples)
         mean = sum(t.mean * t.count for t in tuples) / jnp.maximum(total, 1)
         return LogTuple(mean, total)

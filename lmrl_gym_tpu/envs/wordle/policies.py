@@ -77,10 +77,14 @@ def state_from_history(
         actions.append(guess)
         if i >= len(feedbacks):
             break
+        # empty feedback marks a guess the ENV rejected (malformed or
+        # outside the env's vocab — which may differ from `vocab`, e.g.
+        # opener lists): no knowledge update (game.py:276-278)
         if (
             len(guess) == N_CHARS
             and all("a" <= c <= "z" for c in guess)
             and guess in vocab.words
+            and len(feedbacks[i]) == 3 * N_CHARS
         ):
             knowledge = apply_feedback(knowledge, guess, feedbacks[i])
     return knowledge, actions

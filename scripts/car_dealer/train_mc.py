@@ -1,0 +1,7 @@
+"""Train mc on car_dealer — wrapper over the unified CLI."""
+import sys
+
+from lmrl_gym_tpu.cli.train import main
+
+if __name__ == "__main__":
+    main(["--task", "car_dealer", "--algo", "mc"] + sys.argv[1:])

@@ -1,0 +1,7 @@
+"""Train filtered_bc on maze — wrapper over the unified CLI."""
+import sys
+
+from lmrl_gym_tpu.cli.train import main
+
+if __name__ == "__main__":
+    main(["--task", "maze", "--algo", "filtered_bc"] + sys.argv[1:])
