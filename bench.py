@@ -91,11 +91,12 @@ def bench_ilql():
         next_dones=jnp.ones((B,), bool),
     )
     state, loss, _ = step(state, batch, jax.random.PRNGKey(1))  # compile
-    jax.block_until_ready(loss)
+    float(loss)  # full host sync (block_until_ready alone is unreliable
+    # on some experimental backends — a value fetch cannot return early)
     t0 = time.perf_counter()
     for i in range(REPS):
         state, loss, _ = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(loss)
+    float(loss)  # timed window ends at an actual value fetch
     dt = time.perf_counter() - t0
     updates_per_s = REPS / dt
     print(
@@ -132,12 +133,13 @@ def main():
     # warmup/compile
     key = jax.random.PRNGKey(0)
     state, total, wins = env.rollout_episodes(key, holder)
-    jax.block_until_ready(total)
+    float(total.sum())  # full host sync (value fetch; see bench_ilql note)
 
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(REPS):
         state, total, wins = env.rollout_episodes(jax.random.PRNGKey(i + 1), holder)
-    jax.block_until_ready(total)
+        acc += float(total.sum())  # per-rep value fetch keeps timing honest
     dt = time.perf_counter() - t0
 
     env_steps = B * N_TRIES * REPS

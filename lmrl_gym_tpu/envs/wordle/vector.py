@@ -194,85 +194,6 @@ def render_feedback(knowledge: jax.Array, guess: jax.Array) -> jax.Array:
     ).astype(jnp.int8)
 
 
-def _won(
-    knowledge: jax.Array,  # [26,5]
-    guess_hist: jax.Array,  # [6,5]
-    vocab_chars: jax.Array,
-    vocab_has: jax.Array,
-) -> jax.Array:
-    """win = filtered vocab is a singleton AND that word was guessed
-    (game.py:293)."""
-    mask = consistent_mask(knowledge, vocab_chars, vocab_has)  # [V]
-    n = mask.sum()
-    only_idx = jnp.argmax(mask)  # index of the single word when n==1
-    only_word = vocab_chars[only_idx]  # [5]
-    guessed = jnp.any(
-        jnp.all(guess_hist == only_word[None, :].astype(jnp.int8), axis=-1)
-    )
-    return (n == 1) & guessed
-
-
-def _step_single(
-    knowledge: jax.Array,  # [26,5]
-    guess_hist: jax.Array,  # [6,5]
-    n_guesses: jax.Array,  # []
-    done: jax.Array,  # []
-    guess: jax.Array,  # [5] int8
-    valid: jax.Array,  # [] bool (caller-parsed: 5 lowercase chars)
-    key: jax.Array,
-    vocab_chars: jax.Array,
-    vocab_has: jax.Array,
-    bad_word_reward: float,
-):
-    """One env, one guess. Mirrors WordleGame.next (game.py:213-222)."""
-    # vocab membership of the guess (game.py:214 `action not in self.vocab`)
-    in_vocab = valid & jnp.any(
-        jnp.all(vocab_chars == guess[None, :], axis=-1)
-    )
-
-    # pre-guess filtered vocab (self.vocab is filtered by *current* state)
-    pre_mask = consistent_mask(knowledge, vocab_chars, vocab_has)  # [V]
-    # sample the feedback target uniformly among consistent words
-    # (game.py:219 get_random_word_filtered)
-    logits = jnp.where(pre_mask, 0.0, -jnp.inf)
-    target_idx = jax.random.categorical(key, logits)
-    target = vocab_chars[target_idx]
-
-    new_knowledge = transition_knowledge(
-        knowledge, guess.astype(jnp.int32), target.astype(jnp.int32)
-    )
-
-    # invalid guesses leave knowledge unchanged (game.py:214-216)
-    new_knowledge = jnp.where(in_vocab, new_knowledge, knowledge)
-    feedback = render_feedback(new_knowledge, guess.astype(jnp.int32))
-    feedback = jnp.where(in_vocab, feedback, jnp.full_like(feedback, GRAY))
-
-    # history: every try consumes a slot; only valid guesses are stored
-    # (win-check only ever matches in-vocab words, so storing -1 for
-    # invalid tries is equivalent to storing the malformed string)
-    slot = jnp.clip(n_guesses, 0, N_TRIES - 1)
-    stored = jnp.where(in_vocab, guess, jnp.full_like(guess, -1))
-    new_hist = guess_hist.at[slot].set(stored)
-    new_n = n_guesses + 1
-
-    win = _won(new_knowledge, new_hist, vocab_chars, vocab_has)
-    reward = jnp.where(
-        in_vocab, win.astype(jnp.float32) - 1.0, jnp.float32(bad_word_reward)
-    )
-    new_done = (new_n >= N_TRIES) | (reward == 0.0)
-
-    # frozen slots pass through unchanged
-    pass_through = done
-    new_knowledge = jnp.where(pass_through, knowledge, new_knowledge)
-    new_hist = jnp.where(pass_through, guess_hist, new_hist)
-    new_n = jnp.where(pass_through, n_guesses, new_n)
-    reward = jnp.where(pass_through, 0.0, reward)
-    new_done = jnp.where(pass_through, done, new_done)
-    invalid = jnp.where(pass_through, False, ~in_vocab)
-
-    return new_knowledge, new_hist, new_n, invalid, new_done, reward, feedback
-
-
 class WordleVectorEnv:
     """B Wordle games stepped in lockstep under jit.
 
@@ -297,26 +218,95 @@ class WordleVectorEnv:
         valid: jax.Array,  # [B] bool — parseable 5-letter guess
         key: jax.Array,
     ) -> Tuple[WordleState, jax.Array]:
+        """Directly batched step (no per-env vmap): the knowledge update is
+        5 unrolled batched scatters, the consistency reduction broadcasts
+        over the batch — one flat XLA graph that compiles fast and keeps
+        the VPU busy."""
         B = state.done.shape[0]
-        keys = jax.random.split(key, B)
-        know, hist, n, invalid, done, reward, feedback = jax.vmap(
-            _step_single, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None)
-        )(
-            state.knowledge,
-            state.guess_hist,
-            state.n_guesses,
-            state.done,
-            guess.astype(jnp.int8),
-            valid,
-            keys,
-            self.vocab_chars,
-            self.vocab_has,
-            self.bad_word_reward,
+        guess = guess.astype(jnp.int32)
+        knowledge = state.knowledge
+
+        # vocab membership of each guess (game.py:214)
+        in_vocab = valid & jnp.any(
+            jnp.all(self.vocab_chars[None, :, :] == guess[:, None, :].astype(jnp.int8), axis=-1),
+            axis=-1,
         )
-        return (
-            WordleState(know, hist, n, invalid, done, reward),
-            feedback,
+
+        # sample feedback targets from the CURRENT consistent set (game.py:219)
+        pre_mask = consistent_mask(knowledge, self.vocab_chars, self.vocab_has)  # [B,V]
+        logits = jnp.where(pre_mask, 0.0, -jnp.inf)
+        target_idx = jax.random.categorical(key, logits, axis=-1)  # [B]
+        target = self.vocab_chars[target_idx].astype(jnp.int32)  # [B,5]
+
+        # batched sequential knowledge update (game.py:82-92 semantics)
+        target_onehot = jax.nn.one_hot(target, ALPHA, dtype=bool).any(axis=1)  # [B,26]
+        rows_b = jnp.arange(B)
+        green = guess == target  # [B,5]
+        inword = jnp.take_along_axis(target_onehot, guess, axis=1)  # [B,5]
+        new_knowledge = knowledge
+        for i in range(N_CHARS):
+            c = guess[:, i]
+            row = new_knowledge[rows_b, c]  # [B,5]
+            row_green = row.at[:, i].set(HERE)
+            row_yellow = row.at[:, i].set(NOT_HERE)
+            row_gray = jnp.full_like(row, NOT_HERE)
+            new_row = jnp.where(
+                green[:, i : i + 1],
+                row_green,
+                jnp.where(inword[:, i : i + 1], row_yellow, row_gray),
+            )
+            new_knowledge = new_knowledge.at[rows_b, c].set(new_row)
+
+        # invalid guesses leave knowledge unchanged (game.py:214-216)
+        new_knowledge = jnp.where(in_vocab[:, None, None], new_knowledge, knowledge)
+
+        # observed feedback rendered from the post-update state (batched
+        # render_feedback)
+        rows = new_knowledge[rows_b[:, None], guess]  # [B,5,5]
+        pos = jnp.arange(N_CHARS)
+        cell = rows[:, pos, pos]  # [B,5]
+        row_all_nothere = jnp.all(rows == NOT_HERE, axis=-1)  # [B,5]
+        feedback = jnp.where(
+            cell == HERE,
+            GREEN,
+            jnp.where(row_all_nothere, GRAY, jnp.where(cell == NOT_HERE, YELLOW, GRAY)),
+        ).astype(jnp.int8)
+        feedback = jnp.where(in_vocab[:, None], feedback, GRAY)
+
+        # history: every try consumes a slot; valid guesses stored
+        slot = jnp.clip(state.n_guesses, 0, N_TRIES - 1)
+        stored = jnp.where(
+            in_vocab[:, None], guess.astype(jnp.int8), jnp.int8(-1)
         )
+        new_hist = state.guess_hist.at[rows_b, slot].set(stored)
+        new_n = state.n_guesses + 1
+
+        # win check (game.py:293): post-update filtered set is a singleton
+        # already guessed
+        post_mask = consistent_mask(new_knowledge, self.vocab_chars, self.vocab_has)
+        n_consistent = post_mask.sum(axis=-1)  # [B]
+        only_idx = jnp.argmax(post_mask, axis=-1)
+        only_word = self.vocab_chars[only_idx]  # [B,5]
+        guessed = jnp.any(
+            jnp.all(new_hist == only_word[:, None, :], axis=-1), axis=-1
+        )
+        win = (n_consistent == 1) & guessed
+
+        reward = jnp.where(
+            in_vocab, win.astype(jnp.float32) - 1.0, jnp.float32(self.bad_word_reward)
+        )
+        new_done = (new_n >= N_TRIES) | (reward == 0.0)
+
+        frozen = state.done
+        new_state = WordleState(
+            knowledge=jnp.where(frozen[:, None, None], knowledge, new_knowledge),
+            guess_hist=jnp.where(frozen[:, None, None], state.guess_hist, new_hist),
+            n_guesses=jnp.where(frozen, state.n_guesses, new_n),
+            last_invalid=jnp.where(frozen, False, ~in_vocab),
+            done=jnp.where(frozen, state.done, new_done),
+            reward=jnp.where(frozen, 0.0, reward),
+        )
+        return new_state, feedback
 
     @partial(jax.jit, static_argnums=(0,))
     def auto_reset(self, state: WordleState) -> WordleState:

@@ -197,18 +197,17 @@ class TestVectorEnv:
                 key = jax.random.PRNGKey(trial * 10 + t)
                 state, fb = env.step(state, guess, jnp.ones((1,), bool), key)
                 # recover which target the vector env sampled: rerun the
-                # categorical with the same per-env key stream
-                keys = jax.random.split(key, 1)
+                # batched categorical with the same key
                 pre_logits = jnp.where(
                     consistent_mask(
-                        jnp.asarray(know_host),
+                        jnp.asarray(know_host)[None],
                         env.vocab_chars,
                         env.vocab_has,
                     ),
                     0.0,
                     -jnp.inf,
                 )
-                tgt_idx = int(jax.random.categorical(keys[0], pre_logits))
+                tgt_idx = int(jax.random.categorical(key, pre_logits, axis=-1)[0])
                 target_word = VOCAB.words[tgt_idx]
                 know_host = apply_guess(know_host, guess_word, target_word)
                 np.testing.assert_array_equal(
