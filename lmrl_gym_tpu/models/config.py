@@ -38,6 +38,10 @@ class TransformerConfig:
     pad_vocab_to_multiple: int = 128
     dtype: str = "bfloat16"  # activation dtype; params stay float32
     remat: bool = False  # jax.checkpoint each block
+    # Pallas fused attention on the no-cache (training/scoring) path. On
+    # non-TPU backends or unsupported shapes it transparently falls back to
+    # XLA attention (ops/flash_attention.py), so leaving it on is safe.
+    use_flash_attention: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 from flax import struct
 
 from lmrl_gym_tpu.models.config import TransformerConfig
+from lmrl_gym_tpu.ops.flash_attention import (
+    _NEG_BIG as _MASK_BIAS,
+    flash_attention,
+    supports_flash,
+)
 
 
 class KVCache(struct.PyTreeNode):
@@ -110,14 +115,31 @@ class Attention(nn.Module):
             new_cache = None
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        if not deterministic and cfg.attn_pdrop > 0:
-            probs = nn.Dropout(cfg.attn_pdrop, deterministic=False)(probs)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype))
+        attn_dropout = (not deterministic) and cfg.attn_pdrop > 0
+        if (
+            cfg.use_flash_attention
+            and layer_cache is None
+            and not attn_dropout
+            and supports_flash(q.shape, T_kv)
+        ):
+            # Fused Pallas path: causal handled in-kernel; padding as an
+            # additive [B, T_kv] bias. Replaces the HBM-resident [B,H,T,T]
+            # score tensor of the reference's HF attention (SURVEY §3.1).
+            bias = jnp.where(
+                attention_mask.astype(bool), 0.0, _MASK_BIAS
+            ).astype(jnp.float32)
+            out = flash_attention(
+                q, k, v, bias, causal=True, sm_scale=float(1.0 / Dh**0.5)
+            )
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            if attn_dropout:
+                probs = nn.Dropout(cfg.attn_pdrop, deterministic=False)(probs)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = nn.Dense(D, dtype=dtype, kernel_init=init, name="out")(out)
         if not deterministic and cfg.resid_pdrop > 0:

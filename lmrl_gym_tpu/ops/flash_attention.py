@@ -1,0 +1,235 @@
+"""Fused causal attention (flash attention) as a Pallas TPU kernel.
+
+The reference computes attention through HF flax GPT-2, which materializes
+the full [B, H, T, T] score tensor in HBM. On TPU the hot training path
+(every algorithm's train step runs 2-3 base-model forwards per step,
+SURVEY.md §3.1) is HBM-bandwidth bound, so we tile Q into VMEM blocks and
+stream K/V through an online-softmax accumulator — scores never leave
+VMEM.
+
+Forward: Pallas kernel, grid (B, H, Tq/BQ), fp32 accumulation, causal
+block skipping (KV blocks entirely above the diagonal are never read).
+Backward: recompute-based XLA VJP (no probs saved — same memory win as
+remat, and XLA fuses the recompute well on the MXU).
+
+Falls back transparently to a pure-XLA implementation on non-TPU
+backends (CPU tests) and for shapes below the tile minimum.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only imports on TPU-capable installs; guard for safety
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+# Large-negative instead of -inf: keeps exp() clean when an entire row is
+# masked (fully-padded query rows otherwise produce NaN from inf - inf).
+_NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+# Test hook: force interpreter mode so CPU CI can execute the kernel.
+_FORCE_INTERPRET = False
+
+
+def _xla_attention(q, k, v, bias, causal: bool, sm_scale: float):
+    """Reference path: plain XLA attention. q,k,v: [B,H,T,Dh]; bias: [B,S] additive."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * sm_scale
+    if bias is not None:
+        scores = scores + bias[:, None, None, :].astype(jnp.float32)
+    if causal:
+        Tq, Tk = q.shape[2], k.shape[2]
+        # queries sit at the END of the kv sequence (standard decode layout)
+        q_pos = jnp.arange(Tq) + (Tk - Tq)
+        causal_mask = q_pos[:, None] >= jnp.arange(Tk)[None, :]
+        scores = jnp.where(causal_mask[None, None], scores, _NEG_BIG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, bq, bk, offset):
+    """One (batch, head, q-block) program. K/V stream in VMEM blocks.
+
+    q_ref: [BQ, Dh]; k_ref/v_ref: [S, Dh]; bias_ref: [1, S]; o_ref: [BQ, Dh].
+    `offset` = Tk - Tq aligns query rows to absolute kv positions.
+    """
+    qi = pl.program_id(2)
+    S = k_ref.shape[0]
+    dh = q_ref.shape[1]
+
+    q = q_ref[:].astype(jnp.float32) * sm_scale  # [BQ, Dh]
+
+    n_kv = S // bk
+    if causal:
+        # last kv position visible to this q block: offset + (qi+1)*bq - 1
+        n_live = jnp.minimum(n_kv, (offset + (qi + 1) * bq + bk - 1) // bk)
+    else:
+        n_live = n_kv
+
+    def body(j, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[pl.ds(j * bk, bk), :].astype(jnp.float32)  # [BK, Dh]
+        v_blk = v_ref[pl.ds(j * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q,
+            k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        s = s + bias_ref[0, pl.ds(j * bk, bk)][None, :]
+        if causal:
+            q_pos = offset + qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(q_pos >= k_pos, s, _NEG_BIG)
+
+        m_cur = jnp.max(s, axis=1)  # [BQ]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)  # rescale old accumulator
+        p = jnp.exp(s - m_new[:, None])  # [BQ, BK]
+        l_new = l_prev * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p,
+            v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, dh), jnp.float32)
+    m0 = jnp.full((bq,), _NEG_BIG, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, n_live, body, (acc0, m0, l0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult, value=0.0):
+    n = x.shape[axis]
+    rem = (-n) % mult
+    if rem == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, rem)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+def _flash_forward(q, k, v, bias, causal: bool, sm_scale: float, bq: int, bk: int):
+    B, H, Tq, Dh = q.shape
+    S = k.shape[2]
+
+    qp = _pad_to(q, 2, bq)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    if bias is None:
+        bias = jnp.zeros((B, S), jnp.float32)
+    # padded kv positions masked out via the additive bias
+    biasp = _pad_to(bias.astype(jnp.float32), 1, bk, value=_NEG_BIG)
+    # [B, 1, S]: Mosaic requires the block's sublane dim to tile or equal the
+    # array dim — a unit middle axis satisfies it exactly.
+    biasp = biasp[:, None, :]
+
+    Tqp, Sp = qp.shape[2], kp.shape[2]
+    grid = (B, H, Tqp // bq)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        bq=bq,
+        bk=bk,
+        offset=S - Tq,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # None dims are squeezed: kernel refs are [1,S], [BQ,Dh], [S,Dh]
+            pl.BlockSpec((None, 1, Sp), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((None, None, bq, Dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, Sp, Dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((None, None, Sp, Dh), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, None, bq, Dh), lambda b, h, i: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tqp, Dh), q.dtype),
+        interpret=_FORCE_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tqp * Sp * Dh,
+            bytes_accessed=2 * (qp.size + kp.size + vp.size + B * H * Tqp * Dh),
+            transcendentals=B * H * Tqp * Sp,
+        ),
+    )(biasp, qp, kp, vp)
+    return out[:, :, :Tq, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_mha(q, k, v, bias, causal, sm_scale, bq, bk):
+    return _flash_forward(q, k, v, bias, causal, sm_scale, bq, bk)
+
+
+def _flash_mha_fwd(q, k, v, bias, causal, sm_scale, bq, bk):
+    out = _flash_forward(q, k, v, bias, causal, sm_scale, bq, bk)
+    return out, (q, k, v, bias)
+
+
+def _flash_mha_bwd(causal, sm_scale, bq, bk, res, g):
+    # Recompute-based backward in XLA: memory-light (nothing saved from the
+    # forward but q/k/v) and MXU-friendly; Mosaic backward kernel is a
+    # later optimization.
+    q, k, v, bias = res
+
+    def f(q, k, v, bias):
+        return _xla_attention(q, k, v, bias, causal, sm_scale)
+
+    _, vjp = jax.vjp(f, q, k, v, bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
+def supports_flash(q_shape, kv_len: int, backend: Optional[str] = None) -> bool:
+    """Kernel applicability: TPU backend (or forced interpret), head_dim
+    lane-friendly, sequence long enough that tiling pays."""
+    if not _HAS_PLTPU:
+        return False
+    backend = backend or jax.default_backend()
+    if backend != "tpu" and not _FORCE_INTERPRET:
+        return False
+    B, H, T, Dh = q_shape
+    if Dh % 8 != 0 or Dh > 256:
+        return False
+    return T >= 128 and kv_len >= 128
+
+
+def flash_attention(
+    q: jax.Array,  # [B, H, Tq, Dh]
+    k: jax.Array,  # [B, H, S, Dh]
+    v: jax.Array,  # [B, H, S, Dh]
+    bias: Optional[jax.Array] = None,  # [B, S] additive, -big = masked
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    """Fused attention; output [B, H, Tq, Dh] in q.dtype.
+
+    Numerics: fp32 online softmax regardless of input dtype. Queries are
+    assumed right-aligned against the kv sequence when Tq < S (decode).
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    Tq, S = q.shape[2], k.shape[2]
+    bq = min(block_q, max(8, 1 << (Tq - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (S - 1).bit_length()))
+    if not supports_flash(q.shape, S):
+        return _xla_attention(q, k, v, bias, causal, sm_scale)
+    return _flash_mha(q, k, v, bias, causal, sm_scale, bq, bk)
