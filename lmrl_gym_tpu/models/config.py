@@ -25,6 +25,7 @@ class TransformerConfig:
     activation: str = "gelu_new"
     position_embedding: str = "learned"  # 'learned' | 'rotary'
     rotary_dim: Optional[int] = None  # GPT-J: 64
+    rotary_interleaved: bool = False  # GPT-J pair convention vs NeoX half-split
     parallel_ffn: bool = False  # GPT-J: True (attn & mlp share residual)
     layer_norm_epsilon: float = 1e-5
     tie_word_embeddings: bool = True
@@ -116,6 +117,7 @@ def gptj_6b() -> TransformerConfig:
         num_heads=16,
         position_embedding="rotary",
         rotary_dim=64,
+        rotary_interleaved=True,
         parallel_ffn=True,
         tie_word_embeddings=False,
         embd_pdrop=0.0,

@@ -1,0 +1,288 @@
+"""HuggingFace checkpoint interop (import + export).
+
+Replaces the reference's `ModelLoadMode.HF` load path and its HF-format
+export (reference: JaxSeq models/gpt2/load.py consumers, SURVEY.md §2.9;
+LLM_RL/algorithms/checkpoints.py:8-34 export). Works directly on a
+`transformers` *torch* state dict — torch here is CPU-only weight
+plumbing; all compute stays in JAX.
+
+Layout notes (verified against `transformers` modeling code by parity
+tests in tests/test_hf.py):
+
+- GPT-2 `Conv1D` stores weights [in, out] — identical to a flax Dense
+  kernel, so c_attn/c_proj/c_fc copy over without transposition. Our
+  fused qkv Dense matches c_attn's (q|k|v) output concatenation.
+- GPT-J uses separate q/k/v torch Linear (weight [out, in] → transpose,
+  no bias) and the interleaved rotary convention
+  (config.rotary_interleaved=True).
+- Vocab rows above `vocab_size` (our shardable padding) are zero-filled
+  on import and stripped on export.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmrl_gym_tpu.models.config import TransformerConfig
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor (or array) → float32 numpy without importing torch."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
+    if x.shape[0] == rows:
+        return x
+    out = np.zeros((rows,) + x.shape[1:], x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+def config_from_hf(hf_config) -> TransformerConfig:
+    """Map a transformers GPT2Config / GPTJConfig to TransformerConfig."""
+    t = hf_config.model_type
+    if t == "gpt2":
+        return TransformerConfig(
+            vocab_size=hf_config.vocab_size,
+            max_position_embeddings=hf_config.n_positions,
+            hidden_size=hf_config.n_embd,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            intermediate_size=hf_config.n_inner,
+            activation=hf_config.activation_function,
+            position_embedding="learned",
+            layer_norm_epsilon=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=True,
+            embd_pdrop=hf_config.embd_pdrop,
+            resid_pdrop=hf_config.resid_pdrop,
+            attn_pdrop=hf_config.attn_pdrop,
+            initializer_range=hf_config.initializer_range,
+        )
+    if t == "gptj":
+        return TransformerConfig(
+            vocab_size=hf_config.vocab_size,
+            max_position_embeddings=hf_config.n_positions,
+            hidden_size=hf_config.n_embd,
+            num_layers=hf_config.n_layer,
+            num_heads=hf_config.n_head,
+            intermediate_size=hf_config.n_inner,
+            activation=hf_config.activation_function,
+            position_embedding="rotary",
+            rotary_dim=hf_config.rotary_dim,
+            rotary_interleaved=True,
+            parallel_ffn=True,
+            layer_norm_epsilon=hf_config.layer_norm_epsilon,
+            tie_word_embeddings=False,
+            embd_pdrop=hf_config.embd_pdrop,
+            resid_pdrop=hf_config.resid_pdrop,
+            attn_pdrop=hf_config.attn_pdrop,
+            initializer_range=hf_config.initializer_range,
+        )
+    raise ValueError(f"unsupported HF model_type: {t}")
+
+
+def params_from_hf_state_dict(
+    state: Mapping[str, Any], config: TransformerConfig
+) -> Dict[str, Any]:
+    """HF torch state dict → our flax param pytree (float32 numpy leaves)."""
+    V = config.padded_vocab_size
+    sd = {k: _np(v) for k, v in state.items()}
+    # strip the "transformer." prefix HF *ForCausalLM wrappers add
+    sd = {k.removeprefix("transformer."): v for k, v in sd.items()}
+
+    is_gptj = config.position_embedding == "rotary"
+    params: Dict[str, Any] = {
+        "wte": {"embedding": _pad_rows(sd["wte.weight"], V)},
+        "ln_f": {"scale": sd["ln_f.weight"], "bias": sd["ln_f.bias"]},
+    }
+    if config.position_embedding == "learned":
+        params["wpe"] = {"embedding": sd["wpe.weight"]}
+
+    D = config.hidden_size
+    for i in range(config.num_layers):
+        p = f"h.{i}."
+        blk: Dict[str, Any] = {
+            "ln_1": {"scale": sd[p + "ln_1.weight"], "bias": sd[p + "ln_1.bias"]},
+        }
+        if is_gptj:
+            qkv_w = np.concatenate(
+                [
+                    sd[p + "attn.q_proj.weight"].T,
+                    sd[p + "attn.k_proj.weight"].T,
+                    sd[p + "attn.v_proj.weight"].T,
+                ],
+                axis=1,
+            )
+            blk["attn"] = {
+                "qkv": {"kernel": qkv_w, "bias": np.zeros(3 * D, np.float32)},
+                "out": {
+                    "kernel": sd[p + "attn.out_proj.weight"].T,
+                    "bias": np.zeros(D, np.float32),
+                },
+            }
+            blk["mlp"] = {
+                "fc": {
+                    "kernel": sd[p + "mlp.fc_in.weight"].T,
+                    "bias": sd[p + "mlp.fc_in.bias"],
+                },
+                "proj": {
+                    "kernel": sd[p + "mlp.fc_out.weight"].T,
+                    "bias": sd[p + "mlp.fc_out.bias"],
+                },
+            }
+        else:
+            blk["attn"] = {
+                "qkv": {
+                    "kernel": sd[p + "attn.c_attn.weight"],
+                    "bias": sd[p + "attn.c_attn.bias"],
+                },
+                "out": {
+                    "kernel": sd[p + "attn.c_proj.weight"],
+                    "bias": sd[p + "attn.c_proj.bias"],
+                },
+            }
+            blk["ln_2"] = {
+                "scale": sd[p + "ln_2.weight"],
+                "bias": sd[p + "ln_2.bias"],
+            }
+            blk["mlp"] = {
+                "fc": {
+                    "kernel": sd[p + "mlp.c_fc.weight"],
+                    "bias": sd[p + "mlp.c_fc.bias"],
+                },
+                "proj": {
+                    "kernel": sd[p + "mlp.c_proj.weight"],
+                    "bias": sd[p + "mlp.c_proj.bias"],
+                },
+            }
+        params[f"h_{i}"] = blk
+
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {
+            "kernel": _pad_rows(sd["lm_head.weight"], V).T
+            if "lm_head.weight" in sd
+            else np.zeros((D, V), np.float32),
+        }
+        if "lm_head.bias" in sd:
+            params["lm_head"]["bias"] = _pad_rows(sd["lm_head.bias"][:, None], V)[:, 0]
+        else:
+            params["lm_head"]["bias"] = np.zeros(V, np.float32)
+    return params
+
+
+def params_to_hf_state_dict(params: Any, config: TransformerConfig) -> Dict[str, np.ndarray]:
+    """Our flax params → HF torch-layout state dict (numpy float32 values).
+
+    Inverse of params_from_hf_state_dict; padded vocab rows are stripped.
+    The caller can `model.load_state_dict({k: torch.from_numpy(v) ...})`
+    then `save_pretrained` for the reference's HF export flow
+    (LLM_RL/algorithms/checkpoints.py:8-27).
+    """
+    p = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+    Vt = config.vocab_size
+    is_gptj = config.position_embedding == "rotary"
+    out: Dict[str, np.ndarray] = {
+        "transformer.wte.weight": p["wte"]["embedding"][:Vt],
+        "transformer.ln_f.weight": p["ln_f"]["scale"],
+        "transformer.ln_f.bias": p["ln_f"]["bias"],
+    }
+    if config.position_embedding == "learned":
+        out["transformer.wpe.weight"] = p["wpe"]["embedding"]
+    D = config.hidden_size
+    for i in range(config.num_layers):
+        blk = p[f"h_{i}"]
+        t = f"transformer.h.{i}."
+        out[t + "ln_1.weight"] = blk["ln_1"]["scale"]
+        out[t + "ln_1.bias"] = blk["ln_1"]["bias"]
+        if is_gptj:
+            qkv = blk["attn"]["qkv"]["kernel"]
+            out[t + "attn.q_proj.weight"] = qkv[:, :D].T
+            out[t + "attn.k_proj.weight"] = qkv[:, D : 2 * D].T
+            out[t + "attn.v_proj.weight"] = qkv[:, 2 * D :].T
+            out[t + "attn.out_proj.weight"] = blk["attn"]["out"]["kernel"].T
+            out[t + "mlp.fc_in.weight"] = blk["mlp"]["fc"]["kernel"].T
+            out[t + "mlp.fc_in.bias"] = blk["mlp"]["fc"]["bias"]
+            out[t + "mlp.fc_out.weight"] = blk["mlp"]["proj"]["kernel"].T
+            out[t + "mlp.fc_out.bias"] = blk["mlp"]["proj"]["bias"]
+        else:
+            out[t + "attn.c_attn.weight"] = blk["attn"]["qkv"]["kernel"]
+            out[t + "attn.c_attn.bias"] = blk["attn"]["qkv"]["bias"]
+            out[t + "attn.c_proj.weight"] = blk["attn"]["out"]["kernel"]
+            out[t + "attn.c_proj.bias"] = blk["attn"]["out"]["bias"]
+            out[t + "ln_2.weight"] = blk["ln_2"]["scale"]
+            out[t + "ln_2.bias"] = blk["ln_2"]["bias"]
+            out[t + "mlp.c_fc.weight"] = blk["mlp"]["fc"]["kernel"]
+            out[t + "mlp.c_fc.bias"] = blk["mlp"]["fc"]["bias"]
+            out[t + "mlp.c_proj.weight"] = blk["mlp"]["proj"]["kernel"]
+            out[t + "mlp.c_proj.bias"] = blk["mlp"]["proj"]["bias"]
+    if config.tie_word_embeddings:
+        out["lm_head.weight"] = out["transformer.wte.weight"]
+    else:
+        out["lm_head.weight"] = p["lm_head"]["kernel"][:, :Vt].T
+        if "bias" in p["lm_head"]:
+            out["lm_head.bias"] = p["lm_head"]["bias"][:Vt]
+    return out
+
+
+def load_hf_pretrained(name_or_path: str):
+    """(config, params) from a local HF checkpoint directory.
+
+    Zero-egress environments must pass a local path (HF_HUB_OFFLINE).
+    """
+    import transformers
+
+    hf_model = transformers.AutoModelForCausalLM.from_pretrained(name_or_path)
+    config = config_from_hf(hf_model.config)
+    params = params_from_hf_state_dict(hf_model.state_dict(), config)
+    return config, params
+
+
+def export_hf_pretrained(
+    params: Any, config: TransformerConfig, path: str, tokenizer=None
+) -> None:
+    """Write a transformers-loadable checkpoint dir (reference
+    algorithms/checkpoints.py:8-27 equivalent, minus GCS)."""
+    import torch
+    import transformers
+
+    if config.position_embedding == "learned":
+        hf_config = transformers.GPT2Config(
+            vocab_size=config.vocab_size,
+            n_positions=config.max_position_embeddings,
+            n_embd=config.hidden_size,
+            n_layer=config.num_layers,
+            n_head=config.num_heads,
+            n_inner=config.intermediate_size,
+            activation_function=config.activation,
+            layer_norm_epsilon=config.layer_norm_epsilon,
+        )
+        model = transformers.GPT2LMHeadModel(hf_config)
+    else:
+        hf_config = transformers.GPTJConfig(
+            vocab_size=config.vocab_size,
+            n_positions=config.max_position_embeddings,
+            n_embd=config.hidden_size,
+            n_layer=config.num_layers,
+            n_head=config.num_heads,
+            n_inner=config.intermediate_size,
+            rotary_dim=config.rotary_dim,
+            activation_function=config.activation,
+            layer_norm_epsilon=config.layer_norm_epsilon,
+            tie_word_embeddings=False,
+        )
+        model = transformers.GPTJForCausalLM(hf_config)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in params_to_hf_state_dict(params, config).items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    # only buffers (attn.bias causal masks) may be missing
+    real_missing = [k for k in missing if not k.endswith((".attn.bias", ".attn.masked_bias"))]
+    if real_missing or unexpected:
+        raise ValueError(f"state dict mismatch: missing={real_missing} unexpected={unexpected}")
+    model.save_pretrained(path)
+    if tokenizer is not None:
+        tokenizer.save_pretrained(path)

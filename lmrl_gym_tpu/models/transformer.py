@@ -51,17 +51,40 @@ def _rotate_half(x):
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def apply_rotary(x: jax.Array, position_ids: jax.Array, rotary_dim: int, base: float = 10000.0):
-    """x: [B, H, T, Dh]; GPT-J-style rotary on the first rotary_dim dims."""
+def _rotate_every_two(x):
+    x1, x2 = x[..., ::2], x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rotary(
+    x: jax.Array,
+    position_ids: jax.Array,
+    rotary_dim: int,
+    base: float = 10000.0,
+    interleaved: bool = False,
+):
+    """x: [B, H, T, Dh]; rotary on the first rotary_dim dims.
+
+    interleaved=True is the GPT-J convention (rotate adjacent pairs,
+    HF `rotate_every_two`); False is the NeoX/LLaMA half-split. The two
+    are weight-layout permutations of each other, so HF checkpoint import
+    must use the matching one.
+    """
     B, H, T, Dh = x.shape
     inv_freq = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
     angles = position_ids[:, :, None].astype(jnp.float32) * inv_freq[None, None, :]  # [B,T,rd/2]
     sin = jnp.sin(angles)[:, None, :, :]  # [B,1,T,rd/2]
     cos = jnp.cos(angles)[:, None, :, :]
-    sin = jnp.concatenate([sin, sin], axis=-1).astype(x.dtype)
-    cos = jnp.concatenate([cos, cos], axis=-1).astype(x.dtype)
+    if interleaved:
+        sin = jnp.repeat(sin, 2, axis=-1).astype(x.dtype)
+        cos = jnp.repeat(cos, 2, axis=-1).astype(x.dtype)
+        rot = _rotate_every_two
+    else:
+        sin = jnp.concatenate([sin, sin], axis=-1).astype(x.dtype)
+        cos = jnp.concatenate([cos, cos], axis=-1).astype(x.dtype)
+        rot = _rotate_half
     x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
-    x_rot = x_rot * cos + _rotate_half(x_rot) * sin
+    x_rot = x_rot * cos + rot(x_rot) * sin
     return jnp.concatenate([x_rot, x_pass], axis=-1)
 
 
@@ -93,8 +116,8 @@ class Attention(nn.Module):
 
         if cfg.position_embedding == "rotary":
             rd = cfg.rotary_dim or Dh
-            q = apply_rotary(q, position_ids, rd)
-            k = apply_rotary(k, position_ids, rd)
+            q = apply_rotary(q, position_ids, rd, interleaved=cfg.rotary_interleaved)
+            k = apply_rotary(k, position_ids, rd, interleaved=cfg.rotary_interleaved)
 
         if layer_cache is not None:
             ck, cv, index = layer_cache  # [B,H,Tmax,Dh]
