@@ -26,7 +26,13 @@ class TransformerConfig:
     position_embedding: str = "learned"  # 'learned' | 'rotary'
     rotary_dim: Optional[int] = None  # GPT-J: 64
     rotary_interleaved: bool = False  # GPT-J pair convention vs NeoX half-split
+    rotary_base: float = 10000.0  # LLaMA-3 class models: 500000
     parallel_ffn: bool = False  # GPT-J: True (attn & mlp share residual)
+    norm: str = "layernorm"  # 'layernorm' | 'rmsnorm' (LLaMA)
+    gated_mlp: bool = False  # SwiGLU-style gate·up → proj (LLaMA)
+    attn_bias: bool = True  # LLaMA/GPT-J: False
+    mlp_bias: bool = True  # LLaMA: False
+    lm_head_bias: bool = True  # LLaMA: False
     layer_norm_epsilon: float = 1e-5
     tie_word_embeddings: bool = True
     embd_pdrop: float = 0.1
@@ -82,6 +88,7 @@ class TransformerConfig:
             ("attn/qkv/kernel", PS("fsdp", "mp")),
             ("attn/out/kernel", PS("mp", "fsdp")),
             ("mlp/fc/kernel", PS("fsdp", "mp")),
+            ("mlp/gate/kernel", PS("fsdp", "mp")),
             ("mlp/proj/kernel", PS("mp", "fsdp")),
             ("attn/qkv/bias", PS("mp")),
             ("mlp/fc/bias", PS("mp")),
@@ -120,6 +127,31 @@ def gptj_6b() -> TransformerConfig:
         rotary_interleaved=True,
         parallel_ffn=True,
         tie_word_embeddings=False,
+        embd_pdrop=0.0,
+        resid_pdrop=0.0,
+        attn_pdrop=0.0,
+    )
+
+
+def llama_7b() -> TransformerConfig:
+    """LLaMA-1/2-7B class (reference uses LLaMA for chess BC,
+    llm_rl_scripts/chess/bc/train_bc_llama.py:11-12)."""
+    return TransformerConfig(
+        vocab_size=32000,
+        max_position_embeddings=4096,
+        hidden_size=4096,
+        num_layers=32,
+        num_heads=32,
+        intermediate_size=11008,
+        activation="silu",
+        position_embedding="rotary",
+        norm="rmsnorm",
+        gated_mlp=True,
+        attn_bias=False,
+        mlp_bias=False,
+        lm_head_bias=False,
+        tie_word_embeddings=False,
+        layer_norm_epsilon=1e-6,
         embd_pdrop=0.0,
         resid_pdrop=0.0,
         attn_pdrop=0.0,

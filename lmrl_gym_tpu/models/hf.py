@@ -84,6 +84,33 @@ def config_from_hf(hf_config) -> TransformerConfig:
             attn_pdrop=hf_config.attn_pdrop,
             initializer_range=hf_config.initializer_range,
         )
+    if t == "llama":
+        if getattr(hf_config, "num_key_value_heads", hf_config.num_attention_heads) != (
+            hf_config.num_attention_heads
+        ):
+            raise ValueError("GQA (num_key_value_heads < num_heads) not supported yet")
+        return TransformerConfig(
+            vocab_size=hf_config.vocab_size,
+            max_position_embeddings=hf_config.max_position_embeddings,
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            activation="silu",
+            position_embedding="rotary",
+            rotary_base=getattr(hf_config, "rope_theta", 10000.0),
+            norm="rmsnorm",
+            gated_mlp=True,
+            attn_bias=False,
+            mlp_bias=False,
+            lm_head_bias=False,
+            tie_word_embeddings=bool(getattr(hf_config, "tie_word_embeddings", False)),
+            layer_norm_epsilon=hf_config.rms_norm_eps,
+            embd_pdrop=0.0,
+            resid_pdrop=0.0,
+            attn_pdrop=0.0,
+            initializer_range=hf_config.initializer_range,
+        )
     raise ValueError(f"unsupported HF model_type: {t}")
 
 
@@ -93,6 +120,8 @@ def params_from_hf_state_dict(
     """HF torch state dict → our flax param pytree (float32 numpy leaves)."""
     V = config.padded_vocab_size
     sd = {k: _np(v) for k, v in state.items()}
+    if any(k.startswith("model.embed_tokens") for k in sd):
+        return _params_from_llama(sd, config)
     # strip the "transformer." prefix HF *ForCausalLM wrappers add
     sd = {k.removeprefix("transformer."): v for k, v in sd.items()}
 
@@ -176,6 +205,44 @@ def params_from_hf_state_dict(
     return params
 
 
+def _params_from_llama(sd: Dict[str, np.ndarray], config: TransformerConfig) -> Dict[str, Any]:
+    """HF LlamaForCausalLM layout → flax tree. RMSNorm has scale only;
+    all projections bias-free; MLP is SwiGLU (gate_proj→fc, up_proj→gate,
+    down_proj→proj per models/transformer.py naming)."""
+    V = config.padded_vocab_size
+    params: Dict[str, Any] = {
+        "wte": {"embedding": _pad_rows(sd["model.embed_tokens.weight"], V)},
+        "ln_f": {"scale": sd["model.norm.weight"]},
+    }
+    for i in range(config.num_layers):
+        p = f"model.layers.{i}."
+        qkv_w = np.concatenate(
+            [
+                sd[p + "self_attn.q_proj.weight"].T,
+                sd[p + "self_attn.k_proj.weight"].T,
+                sd[p + "self_attn.v_proj.weight"].T,
+            ],
+            axis=1,
+        )
+        params[f"h_{i}"] = {
+            "ln_1": {"scale": sd[p + "input_layernorm.weight"]},
+            "ln_2": {"scale": sd[p + "post_attention_layernorm.weight"]},
+            "attn": {
+                "qkv": {"kernel": qkv_w},
+                "out": {"kernel": sd[p + "self_attn.o_proj.weight"].T},
+            },
+            "mlp": {
+                "fc": {"kernel": sd[p + "mlp.gate_proj.weight"].T},
+                "gate": {"kernel": sd[p + "mlp.up_proj.weight"].T},
+                "proj": {"kernel": sd[p + "mlp.down_proj.weight"].T},
+            },
+        }
+    if not config.tie_word_embeddings:
+        lm_w = sd.get("lm_head.weight", sd["model.embed_tokens.weight"])
+        params["lm_head"] = {"kernel": _pad_rows(lm_w, V).T}
+    return params
+
+
 def params_to_hf_state_dict(params: Any, config: TransformerConfig) -> Dict[str, np.ndarray]:
     """Our flax params → HF torch-layout state dict (numpy float32 values).
 
@@ -186,6 +253,8 @@ def params_to_hf_state_dict(params: Any, config: TransformerConfig) -> Dict[str,
     """
     p = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
     Vt = config.vocab_size
+    if config.norm == "rmsnorm":
+        return _params_to_llama(p, config)
     is_gptj = config.position_embedding == "rotary"
     out: Dict[str, np.ndarray] = {
         "transformer.wte.weight": p["wte"]["embedding"][:Vt],
@@ -230,6 +299,33 @@ def params_to_hf_state_dict(params: Any, config: TransformerConfig) -> Dict[str,
     return out
 
 
+def _params_to_llama(p: Dict[str, Any], config: TransformerConfig) -> Dict[str, np.ndarray]:
+    Vt = config.vocab_size
+    D = config.hidden_size
+    out: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": p["wte"]["embedding"][:Vt],
+        "model.norm.weight": p["ln_f"]["scale"],
+    }
+    for i in range(config.num_layers):
+        blk = p[f"h_{i}"]
+        t = f"model.layers.{i}."
+        qkv = blk["attn"]["qkv"]["kernel"]
+        out[t + "input_layernorm.weight"] = blk["ln_1"]["scale"]
+        out[t + "post_attention_layernorm.weight"] = blk["ln_2"]["scale"]
+        out[t + "self_attn.q_proj.weight"] = qkv[:, :D].T
+        out[t + "self_attn.k_proj.weight"] = qkv[:, D : 2 * D].T
+        out[t + "self_attn.v_proj.weight"] = qkv[:, 2 * D :].T
+        out[t + "self_attn.o_proj.weight"] = blk["attn"]["out"]["kernel"].T
+        out[t + "mlp.gate_proj.weight"] = blk["mlp"]["fc"]["kernel"].T
+        out[t + "mlp.up_proj.weight"] = blk["mlp"]["gate"]["kernel"].T
+        out[t + "mlp.down_proj.weight"] = blk["mlp"]["proj"]["kernel"].T
+    if config.tie_word_embeddings:
+        out["lm_head.weight"] = out["model.embed_tokens.weight"]
+    else:
+        out["lm_head.weight"] = p["lm_head"]["kernel"][:, :Vt].T
+    return out
+
+
 def load_hf_pretrained(name_or_path: str):
     """(config, params) from a local HF checkpoint directory.
 
@@ -251,7 +347,21 @@ def export_hf_pretrained(
     import torch
     import transformers
 
-    if config.position_embedding == "learned":
+    if config.norm == "rmsnorm":
+        hf_config = transformers.LlamaConfig(
+            vocab_size=config.vocab_size,
+            max_position_embeddings=config.max_position_embeddings,
+            hidden_size=config.hidden_size,
+            num_hidden_layers=config.num_layers,
+            num_attention_heads=config.num_heads,
+            num_key_value_heads=config.num_heads,
+            intermediate_size=config.intermediate_size,
+            rope_theta=config.rotary_base,
+            rms_norm_eps=config.layer_norm_epsilon,
+            tie_word_embeddings=config.tie_word_embeddings,
+        )
+        model = transformers.LlamaForCausalLM(hf_config)
+    elif config.position_embedding == "learned":
         hf_config = transformers.GPT2Config(
             vocab_size=config.vocab_size,
             n_positions=config.max_position_embeddings,

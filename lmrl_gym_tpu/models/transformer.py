@@ -106,7 +106,9 @@ class Attention(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         init = nn.initializers.normal(cfg.initializer_range)
 
-        qkv = nn.Dense(3 * D, dtype=dtype, kernel_init=init, name="qkv")(x)
+        qkv = nn.Dense(
+            3 * D, dtype=dtype, kernel_init=init, use_bias=cfg.attn_bias, name="qkv"
+        )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -116,8 +118,12 @@ class Attention(nn.Module):
 
         if cfg.position_embedding == "rotary":
             rd = cfg.rotary_dim or Dh
-            q = apply_rotary(q, position_ids, rd, interleaved=cfg.rotary_interleaved)
-            k = apply_rotary(k, position_ids, rd, interleaved=cfg.rotary_interleaved)
+            q = apply_rotary(
+                q, position_ids, rd, cfg.rotary_base, interleaved=cfg.rotary_interleaved
+            )
+            k = apply_rotary(
+                k, position_ids, rd, cfg.rotary_base, interleaved=cfg.rotary_interleaved
+            )
 
         if layer_cache is not None:
             ck, cv, index = layer_cache  # [B,H,Tmax,Dh]
@@ -164,7 +170,9 @@ class Attention(nn.Module):
                 probs = nn.Dropout(cfg.attn_pdrop, deterministic=False)(probs)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
-        out = nn.Dense(D, dtype=dtype, kernel_init=init, name="out")(out)
+        out = nn.Dense(
+            D, dtype=dtype, kernel_init=init, use_bias=cfg.attn_bias, name="out"
+        )(out)
         if not deterministic and cfg.resid_pdrop > 0:
             out = nn.Dropout(cfg.resid_pdrop, deterministic=False)(out)
         return out, new_cache
@@ -178,19 +186,46 @@ class MLP(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         init = nn.initializers.normal(cfg.initializer_range)
-        h = nn.Dense(cfg.mlp_dim, dtype=dtype, kernel_init=init, name="fc")(x)
+        h = nn.Dense(
+            cfg.mlp_dim, dtype=dtype, kernel_init=init, use_bias=cfg.mlp_bias, name="fc"
+        )(x)
         if cfg.activation == "gelu_new":
             h = nn.gelu(h, approximate=True)
         elif cfg.activation == "gelu":
             h = nn.gelu(h, approximate=False)
         elif cfg.activation == "relu":
             h = nn.relu(h)
+        elif cfg.activation == "silu":
+            h = nn.silu(h)
         else:
             raise ValueError(cfg.activation)
-        h = nn.Dense(cfg.hidden_size, dtype=dtype, kernel_init=init, name="proj")(h)
+        if cfg.gated_mlp:
+            # SwiGLU: act(fc(x)) gates a linear up-projection (LLaMA MLP;
+            # HF names: fc=gate_proj, gate=up_proj, proj=down_proj)
+            up = nn.Dense(
+                cfg.mlp_dim, dtype=dtype, kernel_init=init,
+                use_bias=cfg.mlp_bias, name="gate",
+            )(x)
+            h = h * up
+        h = nn.Dense(
+            cfg.hidden_size, dtype=dtype, kernel_init=init,
+            use_bias=cfg.mlp_bias, name="proj",
+        )(h)
         if not deterministic and cfg.resid_pdrop > 0:
             h = nn.Dropout(cfg.resid_pdrop, deterministic=False)(h)
         return h
+
+
+def _norm(cfg: TransformerConfig, name: str):
+    if cfg.norm == "rmsnorm":
+        return nn.RMSNorm(
+            epsilon=cfg.layer_norm_epsilon, dtype=jnp.dtype(cfg.dtype), name=name
+        )
+    if cfg.norm == "layernorm":
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_epsilon, dtype=jnp.dtype(cfg.dtype), name=name
+        )
+    raise ValueError(cfg.norm)
 
 
 class Block(nn.Module):
@@ -199,8 +234,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, attention_mask, position_ids, layer_cache, deterministic):
         cfg = self.config
-        ln1 = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=jnp.dtype(cfg.dtype), name="ln_1")
-        h = ln1(x)
+        h = _norm(cfg, "ln_1")(x)
         attn_out, new_cache = Attention(cfg, name="attn")(
             h, attention_mask, position_ids, layer_cache, deterministic
         )
@@ -210,8 +244,7 @@ class Block(nn.Module):
             x = x + attn_out + mlp_out
         else:
             x = x + attn_out
-            ln2 = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=jnp.dtype(cfg.dtype), name="ln_2")
-            x = x + MLP(cfg, name="mlp")(ln2(x), deterministic)
+            x = x + MLP(cfg, name="mlp")(_norm(cfg, "ln_2")(x), deterministic)
         return x, new_cache
 
 
@@ -277,14 +310,14 @@ class Transformer(nn.Module):
                 new_k.append(lc[0])
                 new_v.append(lc[1])
 
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, dtype=dtype, name="ln_f")(x)
+        x = _norm(cfg, "ln_f")(x)
 
         if cfg.tie_word_embeddings:
             logits = wte.attend(x.astype(jnp.float32))
         else:
             logits = nn.Dense(
                 V,
-                use_bias=True,
+                use_bias=cfg.lm_head_bias,
                 dtype=jnp.float32,
                 kernel_init=nn.initializers.normal(cfg.initializer_range),
                 name="lm_head",

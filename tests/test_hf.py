@@ -49,9 +49,29 @@ def _tiny_gptj_hf():
     return transformers.GPTJForCausalLM(cfg).eval()
 
 
-@pytest.mark.parametrize("family", ["gpt2", "gptj"])
+def _tiny_llama_hf():
+    cfg = transformers.LlamaConfig(
+        vocab_size=257,
+        max_position_embeddings=64,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        intermediate_size=48,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(2)
+    return transformers.LlamaForCausalLM(cfg).eval()
+
+
+_FAMILIES = {"gpt2": _tiny_gpt2_hf, "gptj": _tiny_gptj_hf, "llama": _tiny_llama_hf}
+
+
+@pytest.mark.parametrize("family", ["gpt2", "gptj", "llama"])
 def test_hf_import_logits_parity(family):
-    hf_model = _tiny_gpt2_hf() if family == "gpt2" else _tiny_gptj_hf()
+    hf_model = _FAMILIES[family]()
     config = hf_interop.config_from_hf(hf_model.config).replace(
         dtype="float32", pad_vocab_to_multiple=64, use_flash_attention=False
     )
@@ -70,9 +90,9 @@ def test_hf_import_logits_parity(family):
     assert logits.shape[-1] == config.padded_vocab_size
 
 
-@pytest.mark.parametrize("family", ["gpt2", "gptj"])
+@pytest.mark.parametrize("family", ["gpt2", "gptj", "llama"])
 def test_hf_export_roundtrip(family, tmp_path):
-    hf_model = _tiny_gpt2_hf() if family == "gpt2" else _tiny_gptj_hf()
+    hf_model = _FAMILIES[family]()
     config = hf_interop.config_from_hf(hf_model.config).replace(
         dtype="float32", pad_vocab_to_multiple=64
     )
