@@ -20,6 +20,8 @@ import numpy as np
 from flax import serialization
 from jax.sharding import NamedSharding
 
+from lmrl_gym_tpu.core.io import makedirs_with_bucket, open_with_bucket
+
 
 def _flatten_with_paths(tree: Any):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
@@ -49,7 +51,7 @@ def save_pytree(
     """
     flat, _ = _flatten_with_paths(tree)
     packer = msgpack.Packer()
-    with open(path, "wb") as f:
+    with open_with_bucket(path, "wb") as f:
         for key, leaf in flat:
             arr = np.asarray(jax.device_get(leaf))
             if dtype is not None and np.issubdtype(arr.dtype, np.floating):
@@ -70,7 +72,7 @@ def load_pytree(
     heads/shard_heads.py:125,148); default returns the numpy array.
     """
     leaves = {}
-    with open(path, "rb") as f:
+    with open_with_bucket(path, "rb") as f:
         unpacker = msgpack.Unpacker(f, max_buffer_size=2**31)
         for key, raw in unpacker:
             if isinstance(key, bytes):
@@ -113,15 +115,14 @@ def stream_sharding_fn(mesh, spec_by_key: Callable[[str], Any]):
 
 
 def save_config(config: dict, path: str) -> None:
-    with open(path, "w") as f:
+    with open_with_bucket(path, "w") as f:
         json.dump(config, f, indent=2)
 
 
 def load_config(path: str) -> dict:
-    with open(path) as f:
+    with open_with_bucket(path) as f:
         return json.load(f)
 
 
 def create_path(path: str) -> str:
-    os.makedirs(path, exist_ok=True)
-    return path
+    return makedirs_with_bucket(path)

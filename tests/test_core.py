@@ -156,3 +156,40 @@ class TestMesh:
 
         out = f(sharded["x"])
         np.testing.assert_array_equal(np.asarray(out), x * 2)
+
+
+# ---------------------------------------------------------------------------
+# core.io: bucket-transparent IO + jsonl helpers
+# ---------------------------------------------------------------------------
+
+
+def test_io_open_with_bucket_local(tmp_path):
+    from lmrl_gym_tpu.core import io
+
+    p = str(tmp_path / "sub" / "dir" / "x.txt")  # parents auto-created
+    with io.open_with_bucket(p, "w") as f:
+        f.write("hello")
+    assert io.exists_with_bucket(p)
+    with io.open_with_bucket(p) as f:
+        assert f.read() == "hello"
+    io.delete_with_bucket(p)
+    assert not io.exists_with_bucket(p)
+    assert io.is_bucket_path("gcs://b/k") and io.is_bucket_path("gs://b/k")
+    assert not io.is_bucket_path("/local/path")
+
+
+def test_io_jsonl_roundtrip(tmp_path):
+    from lmrl_gym_tpu.core import io
+
+    p = str(tmp_path / "d.jsonl")
+    items = [{"a": 1}, {"b": [1, 2]}, "str"]
+    io.jsonl_dump(items, p)
+    assert io.jsonl_load(p) == items
+    assert list(io.jsonl_stream(p)) == items
+
+
+def test_io_distributed_init_single_host_noop():
+    from lmrl_gym_tpu.core import io
+
+    io.distributed_init()  # must not raise on single host
+    assert io.is_main_process()
