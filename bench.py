@@ -111,9 +111,66 @@ def bench_ilql():
     )
 
 
+def bench_actor():
+    """Secondary metric (BENCH_MODE=actor): fused LM-policy rollout —
+    GPT-2-small decoding full Wordle episodes with the vectorized env
+    inside one jit (loops/actor.py). Reports LM-in-the-loop env-steps/s
+    and decoded tokens/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmrl_gym_tpu.envs.wordle.vector import N_TRIES, WordleVectorEnv, WordleVocab
+    from lmrl_gym_tpu.loops import actor
+    from lmrl_gym_tpu.models.config import gpt2_small
+    from lmrl_gym_tpu.models.interface import LMCore
+    from lmrl_gym_tpu.models.transformer import init_params
+
+    B = int(os.environ.get("BENCH_BATCH", 512))
+    REPS = int(os.environ.get("BENCH_REPS", 5))
+
+    env = WordleVectorEnv(WordleVocab.from_file())
+    config = gpt2_small().replace(
+        vocab_size=512, pad_vocab_to_multiple=128,
+        embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
+    )
+    core = LMCore(config)
+    params = init_params(config, jax.random.PRNGKey(0))
+    step_fn, carry0 = actor.make_lm_step_fn(core, params, B)
+    holder = jnp.zeros((B,))
+
+    out = actor.rollout_wordle(env, step_fn, carry0, jax.random.PRNGKey(0), holder)
+    float(out.turn_reward.sum())  # sync
+
+    t0 = time.perf_counter()
+    for i in range(REPS):
+        out = actor.rollout_wordle(
+            env, step_fn, carry0, jax.random.PRNGKey(i + 1), holder
+        )
+        float(out.turn_reward.sum())
+    dt = time.perf_counter() - t0
+
+    n_chips = max(1, len(jax.devices()))
+    env_steps = B * N_TRIES * REPS / dt / n_chips
+    tok_s = B * actor.EPISODE_LEN * REPS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "wordle_fused_lm_actor_env_steps_per_s_per_chip",
+                "value": round(env_steps, 1),
+                "unit": "env-steps/s/chip",
+                "vs_baseline": round(env_steps / 10_000.0, 3),
+                "tokens_per_s_per_chip": round(tok_s, 1),
+            }
+        )
+    )
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "ilql":
         bench_ilql()
+        return
+    if os.environ.get("BENCH_MODE") == "actor":
+        bench_actor()
         return
     import jax
 

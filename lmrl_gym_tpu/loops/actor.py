@@ -1,0 +1,265 @@
+"""Fused on-device actor: LM decoding and vectorized env stepping under
+one jit — no host round-trips inside an episode.
+
+This is the TPU-native redesign of the reference's rollout driver
+(`interact_environment`, LLM_RL/environment.py:154-207), which ping-pongs
+between host env logic and device generation every turn. Here the policy
+decode loop and the env transition are one compiled program: SURVEY.md §7
+"fused decode-while-stepping actor loop" (hard part #3).
+
+Wordle makes this exact: under the byte tokenizer, the reformatted text
+protocol (envs/wordle/env.py reformat_history) is fixed-width —
+
+    "Wordle:\n"                      8 obs tokens (header)
+    per turn t<6:
+      "c o p s e\n"                 10 action tokens (letters at 0,2,4,6,8)
+      "b y g b b\n"                 10 obs tokens (feedback letters)
+
+so a full episode is exactly 128 tokens, statically laid out, and the
+whole rollout is shape-static: a 6-turn scan, each turn = a 10-step decode
+scan + one vector-env step + one 10-token observation forward. The token
+stream matches the host-side ReformatWordleEnv byte-for-byte, so models
+BC-trained on host-rendered data drive this actor unchanged (golden test
+in tests/test_actor.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmrl_gym_tpu.envs.wordle.vector import (
+    N_CHARS,
+    N_TRIES,
+    WordleVectorEnv,
+    initial_state,
+)
+from lmrl_gym_tpu.models.interface import LMCore
+from lmrl_gym_tpu.models.transformer import KVCache, mask_pad_logits
+
+# Byte-tokenizer constants (token id == byte value)
+_SP, _NL = 32, 10
+_A = 97  # ord('a')
+HEADER = tuple("Wordle:\n".encode())  # 8 tokens
+TURN_LEN = 2 * (2 * N_CHARS)  # action 10 + obs 10
+EPISODE_LEN = len(HEADER) + N_TRIES * TURN_LEN  # 128
+_FEEDBACK_BYTES = (98, 121, 103)  # GRAY->'b', YELLOW->'y', GREEN->'g'
+
+
+def episode_is_action_mask() -> np.ndarray:
+    """Static [EPISODE_LEN] bool: which slots are action tokens."""
+    m = np.zeros(EPISODE_LEN, bool)
+    for t in range(N_TRIES):
+        off = len(HEADER) + t * TURN_LEN
+        m[off : off + 2 * N_CHARS] = True
+    return m
+
+
+def action_end_positions() -> np.ndarray:
+    """[N_TRIES] token index of each turn's final action token (the '\\n'),
+    where per-turn rewards sit for ILQL/MC data (environment.py:361-380
+    reward-on-last-token convention)."""
+    return np.asarray(
+        [len(HEADER) + t * TURN_LEN + 2 * N_CHARS - 1 for t in range(N_TRIES)]
+    )
+
+
+class WordleRollout(NamedTuple):
+    tokens: jax.Array  # [B, EPISODE_LEN] int32 — full episode token stream
+    turn_reward: jax.Array  # [B, N_TRIES] float32 (0 for turns after done)
+    turn_live: jax.Array  # [B, N_TRIES] bool — env was not done going in
+    win: jax.Array  # [B] bool
+    n_turns: jax.Array  # [B] int32
+
+    def token_rewards(self) -> jax.Array:
+        """[B, EPISODE_LEN]: turn rewards scattered onto action-final tokens."""
+        B = self.tokens.shape[0]
+        out = jnp.zeros((B, EPISODE_LEN), jnp.float32)
+        pos = jnp.asarray(action_end_positions())
+        return out.at[:, pos].set(self.turn_reward * self.turn_live)
+
+    def token_action_mask(self) -> jax.Array:
+        """[B, EPISODE_LEN] bool: action tokens of live turns (loss mask)."""
+        is_action = jnp.asarray(episode_is_action_mask())
+        live_by_slot = jnp.zeros(
+            (self.turn_live.shape[0], EPISODE_LEN), bool
+        )
+        for t in range(N_TRIES):
+            off = len(HEADER) + t * TURN_LEN
+            live_by_slot = live_by_slot.at[:, off : off + TURN_LEN].set(
+                self.turn_live[:, t : t + 1]
+            )
+        return live_by_slot & is_action[None, :]
+
+
+# step_fn(tokens [B,T], carry) -> (logits [B,T,V] f32, carry); positions are
+# implicit (dense layout: cache.index + arange(T)), mask all-ones.
+StepFn = Callable[[jax.Array, Any], Tuple[jax.Array, Any]]
+
+
+def make_lm_step_fn(core: LMCore, params: Any, batch: int) -> Tuple[StepFn, Any]:
+    """Plain-LM policy trunk for the actor (BC/filtered-BC checkpoints)."""
+    config = core.config
+
+    def step_fn(tokens, cache):
+        logits, _, cache = core.module.apply(
+            {"params": params},
+            tokens,
+            attention_mask=jnp.ones((batch, cache.k.shape[3]), jnp.int32),
+            position_ids=cache.index + jnp.arange(tokens.shape[1])[None, :],
+            cache=cache,
+            deterministic=True,
+        )
+        return mask_pad_logits(logits.astype(jnp.float32), config.vocab_size), cache
+
+    return step_fn, KVCache.init(config, batch, EPISODE_LEN)
+
+
+def make_value_guided_step_fn(
+    core: LMCore,
+    q_head,
+    pi_beta_params: Optional[Any],
+    base_params: Any,
+    q1_params: Any,
+    q2_params: Optional[Any],
+    batch: int,
+    beta: float = 8.0,
+) -> Tuple[StepFn, Any]:
+    """β-perturbed decoding trunk: logits = π_β + β·min(q1,q2) (the
+    reference's GPT2ValueRLGeneration, value_rl_base/gpt2/generation.py:36-121)
+    as an actor step_fn. With pi_beta_params=None the value base doubles as
+    π_β (shared trunk, one forward per step)."""
+    config = core.config
+    two_trunks = pi_beta_params is not None
+
+    def trunk(p, tokens, cache):
+        logits, hidden, cache = core.module.apply(
+            {"params": p},
+            tokens,
+            attention_mask=jnp.ones((batch, cache.k.shape[3]), jnp.int32),
+            position_ids=cache.index + jnp.arange(tokens.shape[1])[None, :],
+            cache=cache,
+            deterministic=True,
+        )
+        return logits, hidden, cache
+
+    def step_fn(tokens, carry):
+        base_cache, pi_cache = carry
+        base_logits, hidden, base_cache = trunk(base_params, tokens, base_cache)
+        q1 = q_head.apply({"params": q1_params}, hidden)
+        q = q1
+        if q2_params is not None:
+            q = jnp.minimum(q1, q_head.apply({"params": q2_params}, hidden))
+        if two_trunks:
+            pi_logits, _, pi_cache = trunk(pi_beta_params, tokens, pi_cache)
+        else:
+            pi_logits = base_logits
+        logits = pi_logits.astype(jnp.float32) + beta * q.astype(jnp.float32)
+        return (
+            mask_pad_logits(logits, config.vocab_size),
+            (base_cache, pi_cache),
+        )
+
+    base_cache = KVCache.init(config, batch, EPISODE_LEN)
+    pi_cache = (
+        KVCache.init(config, batch, EPISODE_LEN) if two_trunks else base_cache
+    )
+    return step_fn, (base_cache, pi_cache)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def rollout_wordle(
+    env: WordleVectorEnv,
+    step_fn: StepFn,
+    init_carry: Any,
+    key: jax.Array,
+    batch_holder: jax.Array,  # [B] anything with the batch dim (shape carrier)
+    temperature: float = 1.0,
+    greedy: bool = False,
+) -> WordleRollout:
+    """One fused compiled program: 6 turns of (10-token decode scan →
+    env.step → 10-token feedback forward). Everything stays on device."""
+    B = batch_holder.shape[0]
+    header = jnp.broadcast_to(jnp.asarray(HEADER, jnp.int32), (B, len(HEADER)))
+
+    # prefill the header; last logits condition the first action token
+    logits, carry = step_fn(header, init_carry)
+    last_logits = logits[:, -1, :]
+
+    tokens0 = jnp.zeros((B, EPISODE_LEN), jnp.int32).at[:, : len(HEADER)].set(header)
+    state0 = initial_state(B)
+    fb_bytes = jnp.asarray(_FEEDBACK_BYTES, jnp.int32)
+
+    def decode_action(carry, last_logits, key):
+        """10-step decode scan → ([B,10] tokens, carry, key)."""
+
+        def dstep(sc, k):
+            carry, logits = sc
+            if greedy:
+                tok = jnp.argmax(logits, axis=-1)
+            else:
+                tok = jax.random.categorical(
+                    k, logits / jnp.maximum(temperature, 1e-6), axis=-1
+                )
+            new_logits, carry = step_fn(tok[:, None], carry)
+            return (carry, new_logits[:, -1, :]), tok
+
+        keys = jax.random.split(key, 2 * N_CHARS)
+        (carry, last), toks = jax.lax.scan(dstep, (carry, last_logits), keys)
+        return toks.T.astype(jnp.int32), carry, last  # [B,10]
+
+    def turn(scan_carry, turn_in):
+        state, carry, last_logits, tokens = scan_carry
+        t, turn_key = turn_in
+        kd, ke = jax.random.split(turn_key)
+
+        live = ~state.done
+        act, carry, last_logits = decode_action(carry, last_logits, kd)
+
+        # parse "c o p s e\n": letters at even slots, separators between
+        letters = act[:, 0 : 2 * N_CHARS : 2]  # [B,5]
+        is_letter = jnp.all((letters >= _A) & (letters < _A + 26), axis=-1)
+        seps_ok = jnp.all(act[:, 1 : 2 * N_CHARS - 1 : 2] == _SP, axis=-1) & (
+            act[:, 2 * N_CHARS - 1] == _NL
+        )
+        valid = is_letter & seps_ok
+        guess = jnp.clip(letters - _A, 0, 25).astype(jnp.int8)
+
+        new_state, feedback = env.step(state, guess, valid, ke)
+
+        # feedback "b y g b b\n" as 10 obs tokens
+        fb = fb_bytes[feedback.astype(jnp.int32)]  # [B,5]
+        obs = jnp.full((B, 2 * N_CHARS), _SP, jnp.int32)
+        obs = obs.at[:, 0 : 2 * N_CHARS : 2].set(fb)
+        obs = obs.at[:, 2 * N_CHARS - 1].set(_NL)
+
+        off = len(HEADER) + t * TURN_LEN
+        tokens = jax.lax.dynamic_update_slice(tokens, act, (0, off))
+        tokens = jax.lax.dynamic_update_slice(tokens, obs, (0, off + 2 * N_CHARS))
+
+        # advance the cache over the observation; its last logits start the
+        # next turn's action
+        logits, carry = step_fn(obs, carry)
+        last_logits = logits[:, -1, :]
+
+        out = (new_state.reward * live, live)
+        return (new_state, carry, last_logits, tokens), out
+
+    keys = jax.random.split(key, N_TRIES)
+    ts = jnp.arange(N_TRIES)
+    (state, _, _, tokens), (turn_reward, turn_live) = jax.lax.scan(
+        turn, (state0, carry, last_logits, tokens0), (ts, keys)
+    )
+    turn_reward = turn_reward.T  # [B, N_TRIES]
+    turn_live = turn_live.T
+    win = jnp.any((turn_reward == 0.0) & turn_live, axis=-1)
+    return WordleRollout(
+        tokens=tokens,
+        turn_reward=turn_reward,
+        turn_live=turn_live,
+        win=win,
+        n_turns=turn_live.sum(axis=-1).astype(jnp.int32),
+    )
