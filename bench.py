@@ -135,16 +135,16 @@ def bench_actor():
     )
     core = LMCore(config)
     params = init_params(config, jax.random.PRNGKey(0))
-    step_fn, carry0 = actor.make_lm_step_fn(core, params, B)
+    step_fn, carry0 = actor.make_lm_step_fn(core, B)
     holder = jnp.zeros((B,))
 
-    out = actor.rollout_wordle(env, step_fn, carry0, jax.random.PRNGKey(0), holder)
+    out = actor.rollout_wordle(env, step_fn, params, carry0, jax.random.PRNGKey(0), holder)
     float(out.turn_reward.sum())  # sync
 
     t0 = time.perf_counter()
     for i in range(REPS):
         out = actor.rollout_wordle(
-            env, step_fn, carry0, jax.random.PRNGKey(i + 1), holder
+            env, step_fn, params, carry0, jax.random.PRNGKey(i + 1), holder
         )
         float(out.turn_reward.sum())
     dt = time.perf_counter() - t0

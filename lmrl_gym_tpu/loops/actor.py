@@ -95,16 +95,19 @@ class WordleRollout(NamedTuple):
         return live_by_slot & is_action[None, :]
 
 
-# step_fn(tokens [B,T], carry) -> (logits [B,T,V] f32, carry); positions are
+# step_fn(params, tokens [B,T], carry) -> (logits [B,T,V] f32, carry).
+# `params` is a traced argument (NOT a closure capture — closed-over
+# weights would be baked into the compiled module as constants, bloating
+# the executable and forcing a recompile per refresh). Positions are
 # implicit (dense layout: cache.index + arange(T)), mask all-ones.
-StepFn = Callable[[jax.Array, Any], Tuple[jax.Array, Any]]
+StepFn = Callable[[Any, jax.Array, Any], Tuple[jax.Array, Any]]
 
 
-def make_lm_step_fn(core: LMCore, params: Any, batch: int) -> Tuple[StepFn, Any]:
+def make_lm_step_fn(core: LMCore, batch: int) -> Tuple[StepFn, Any]:
     """Plain-LM policy trunk for the actor (BC/filtered-BC checkpoints)."""
     config = core.config
 
-    def step_fn(tokens, cache):
+    def step_fn(params, tokens, cache):
         logits, _, cache = core.module.apply(
             {"params": params},
             tokens,
@@ -121,19 +124,19 @@ def make_lm_step_fn(core: LMCore, params: Any, batch: int) -> Tuple[StepFn, Any]
 def make_value_guided_step_fn(
     core: LMCore,
     q_head,
-    pi_beta_params: Optional[Any],
-    base_params: Any,
-    q1_params: Any,
-    q2_params: Optional[Any],
     batch: int,
+    two_trunks: bool,
+    twin_q: bool,
     beta: float = 8.0,
 ) -> Tuple[StepFn, Any]:
     """β-perturbed decoding trunk: logits = π_β + β·min(q1,q2) (the
     reference's GPT2ValueRLGeneration, value_rl_base/gpt2/generation.py:36-121)
-    as an actor step_fn. With pi_beta_params=None the value base doubles as
-    π_β (shared trunk, one forward per step)."""
+    as an actor step_fn.
+
+    `params` at call time is a dict {pi_beta?, base, q1, q2?}. With
+    two_trunks=False the value base doubles as π_β (shared trunk, one
+    forward per step)."""
     config = core.config
-    two_trunks = pi_beta_params is not None
 
     def trunk(p, tokens, cache):
         logits, hidden, cache = core.module.apply(
@@ -146,15 +149,15 @@ def make_value_guided_step_fn(
         )
         return logits, hidden, cache
 
-    def step_fn(tokens, carry):
+    def step_fn(params, tokens, carry):
         base_cache, pi_cache = carry
-        base_logits, hidden, base_cache = trunk(base_params, tokens, base_cache)
-        q1 = q_head.apply({"params": q1_params}, hidden)
+        base_logits, hidden, base_cache = trunk(params["base"], tokens, base_cache)
+        q1 = q_head.apply({"params": params["q1"]}, hidden)
         q = q1
-        if q2_params is not None:
-            q = jnp.minimum(q1, q_head.apply({"params": q2_params}, hidden))
+        if twin_q:
+            q = jnp.minimum(q1, q_head.apply({"params": params["q2"]}, hidden))
         if two_trunks:
-            pi_logits, _, pi_cache = trunk(pi_beta_params, tokens, pi_cache)
+            pi_logits, _, pi_cache = trunk(params["pi_beta"], tokens, pi_cache)
         else:
             pi_logits = base_logits
         logits = pi_logits.astype(jnp.float32) + beta * q.astype(jnp.float32)
@@ -170,10 +173,11 @@ def make_value_guided_step_fn(
     return step_fn, (base_cache, pi_cache)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 5, 6))
+@partial(jax.jit, static_argnums=(0, 1, 6, 7))
 def rollout_wordle(
     env: WordleVectorEnv,
     step_fn: StepFn,
+    params: Any,
     init_carry: Any,
     key: jax.Array,
     batch_holder: jax.Array,  # [B] anything with the batch dim (shape carrier)
@@ -186,7 +190,7 @@ def rollout_wordle(
     header = jnp.broadcast_to(jnp.asarray(HEADER, jnp.int32), (B, len(HEADER)))
 
     # prefill the header; last logits condition the first action token
-    logits, carry = step_fn(header, init_carry)
+    logits, carry = step_fn(params, header, init_carry)
     last_logits = logits[:, -1, :]
 
     tokens0 = jnp.zeros((B, EPISODE_LEN), jnp.int32).at[:, : len(HEADER)].set(header)
@@ -204,7 +208,7 @@ def rollout_wordle(
                 tok = jax.random.categorical(
                     k, logits / jnp.maximum(temperature, 1e-6), axis=-1
                 )
-            new_logits, carry = step_fn(tok[:, None], carry)
+            new_logits, carry = step_fn(params, tok[:, None], carry)
             return (carry, new_logits[:, -1, :]), tok
 
         keys = jax.random.split(key, 2 * N_CHARS)
@@ -242,7 +246,7 @@ def rollout_wordle(
 
         # advance the cache over the observation; its last logits start the
         # next turn's action
-        logits, carry = step_fn(obs, carry)
+        logits, carry = step_fn(params, obs, carry)
         last_logits = logits[:, -1, :]
 
         out = (new_state.reward * live, live)

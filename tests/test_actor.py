@@ -32,7 +32,7 @@ def _scripted_step_fn(word: str, vocab_size: int = 320):
 
     pattern = jnp.asarray(pattern, jnp.int32)  # [10]
 
-    def step_fn(tokens, carry):
+    def step_fn(params, tokens, carry):
         B, T = tokens.shape
         if T == 1:  # decode step: advance within the action pattern
             new_carry = (carry + 1) % len(pattern)
@@ -53,7 +53,7 @@ def test_scripted_actor_matches_manual_env_stepping():
     step_fn, carry0 = _scripted_step_fn(word)
     key = jax.random.PRNGKey(7)
     out = actor.rollout_wordle(
-        env, step_fn, carry0, key, jnp.zeros((B,)), 1.0, True
+        env, step_fn, None, carry0, key, jnp.zeros((B,)), 1.0, True
     )
 
     # replicate the actor's env key stream
@@ -77,7 +77,7 @@ def test_actor_token_stream_is_reformat_rendering():
     env = _env()
     step_fn, carry0 = _scripted_step_fn("copse")
     out = actor.rollout_wordle(
-        env, step_fn, carry0, jax.random.PRNGKey(0), jnp.zeros((2,)), 1.0, True
+        env, step_fn, None, carry0, jax.random.PRNGKey(0), jnp.zeros((2,)), 1.0, True
     )
     tok = ByteTokenizer()
     text = tok.decode([int(t) for t in np.asarray(out.tokens)[0]])
@@ -108,9 +108,9 @@ def test_lm_actor_end_to_end():
     core = LMCore(config)
     params = init_params(config, jax.random.PRNGKey(0))
     B = 4
-    step_fn, carry0 = actor.make_lm_step_fn(core, params, B)
+    step_fn, carry0 = actor.make_lm_step_fn(core, B)
     out = actor.rollout_wordle(
-        env, step_fn, carry0, jax.random.PRNGKey(3), jnp.zeros((B,)), 1.0, False
+        env, step_fn, params, carry0, jax.random.PRNGKey(3), jnp.zeros((B,)), 1.0, False
     )
     assert out.tokens.shape == (B, actor.EPISODE_LEN)
     live = np.asarray(out.turn_live)
