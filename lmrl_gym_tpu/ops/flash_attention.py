@@ -56,10 +56,13 @@ def _xla_attention(q, k, v, bias, causal: bool, sm_scale: float):
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
 
-def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, bq, bk, offset):
+def _flash_kernel(
+    bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, causal, bq, bk, offset
+):
     """One (batch, head, q-block) program. K/V stream in VMEM blocks.
 
-    q_ref: [BQ, Dh]; k_ref/v_ref: [S, Dh]; bias_ref: [1, S]; o_ref: [BQ, Dh].
+    q_ref: [BQ, Dh]; k_ref/v_ref: [S, Dh]; bias_ref: [1, S]; o_ref: [BQ, Dh];
+    lse_ref: [BQ] per-row logsumexp (saved for the backward kernels).
     `offset` = Tk - Tq aligns query rows to absolute kv positions.
     """
     qi = pl.program_id(2)
@@ -107,8 +110,9 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, bq,
     acc0 = jnp.zeros((bq, dh), jnp.float32)
     m0 = jnp.full((bq,), _NEG_BIG, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, n_live, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, n_live, body, (acc0, m0, l0))
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+    lse_ref[0, :] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _pad_to(x, axis, mult, value=0.0):
@@ -147,7 +151,7 @@ def _flash_forward(q, k, v, bias, causal: bool, sm_scale: float, bq: int, bk: in
         bk=bk,
         offset=S - Tq,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -157,8 +161,14 @@ def _flash_forward(q, k, v, bias, causal: bool, sm_scale: float, bq: int, bk: in
             pl.BlockSpec((None, None, Sp, Dh), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((None, None, Sp, Dh), lambda b, h, i: (b, h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, None, bq, Dh), lambda b, h, i: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Tqp, Dh), q.dtype),
+        out_specs=[
+            pl.BlockSpec((None, None, bq, Dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((None, None, 1, bq), lambda b, h, i: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Tqp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, Tqp), jnp.float32),
+        ],
         interpret=_FORCE_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Tqp * Sp * Dh,
@@ -166,31 +176,198 @@ def _flash_forward(q, k, v, bias, causal: bool, sm_scale: float, bq: int, bk: in
             transcendentals=B * H * Tqp * Sp,
         ),
     )(biasp, qp, kp, vp)
-    return out[:, :, :Tq, :]
+    return out[:, :, :Tq, :], lse[:, :, 0, :Tq]
+
+
+def _flash_bwd_dq_kernel(
+    bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, sm_scale, causal, bq, bk, offset,
+):
+    """dQ for one (batch, head, q-block): stream kv blocks like the forward.
+
+    P is rebuilt from the saved logsumexp (no online softmax needed):
+    P = exp(s - lse); dS = P ⊙ (dO·Vᵀ − Δ); dQ = scale · dS·K, where
+    Δ = rowsum(dO ⊙ O) (computed once in XLA).
+    """
+    qi = pl.program_id(2)
+    S = k_ref.shape[0]
+    q = q_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)  # [BQ, Dh]
+    lse = lse_ref[0, :]  # [BQ]
+    delta = delta_ref[0, :]  # [BQ]
+
+    n_kv = S // bk
+    if causal:
+        n_live = jnp.minimum(n_kv, (offset + (qi + 1) * bq + bk - 1) // bk)
+    else:
+        n_live = n_kv
+
+    def body(j, dq):
+        k_blk = k_ref[pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(j * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        s = s + bias_ref[0, pl.ds(j * bk, bk)][None, :]
+        if causal:
+            q_pos = offset + qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(q_pos >= k_pos, s, _NEG_BIG)
+        p = jnp.exp(s - lse[:, None])  # [BQ, BK]
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[:, None])
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, n_live, body, jnp.zeros_like(q))
+    dq_ref[:] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, sm_scale, causal, bq, bk, offset,
+):
+    """dK/dV for one (batch, head, kv-block): stream q blocks.
+
+    dV = Pᵀ·dO; dK = scale · dSᵀ·Q. Causal skip: q blocks entirely above
+    this kv block are never read.
+    """
+    ki = pl.program_id(2)
+    Tq = q_ref.shape[0]
+    k_blk = k_ref[:].astype(jnp.float32)  # [BK, Dh]
+    v_blk = v_ref[:].astype(jnp.float32)
+    bias = bias_ref[0, :][None, :]  # [1, BK]
+
+    n_q = Tq // bq
+    if causal:
+        # first q block whose last row reaches this kv block
+        start = jnp.maximum(0, (ki * bk - offset) // bq)
+    else:
+        start = 0
+
+    def body(qi, carry):
+        dk, dv = carry
+        q_blk = q_ref[pl.ds(qi * bq, bq), :].astype(jnp.float32)
+        do_blk = do_ref[pl.ds(qi * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qi * bq, bq)]
+        delta = delta_ref[0, pl.ds(qi * bq, bq)]
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        s = s + bias
+        if causal:
+            q_pos = offset + qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(q_pos >= k_pos, s, _NEG_BIG)
+        p = jnp.exp(s - lse[:, None])  # [BQ, BK]
+        dv = dv + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[:, None])
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dh = k_blk.shape[1]
+    dk0 = jnp.zeros((bk, dh), jnp.float32)
+    dv0 = jnp.zeros((bk, dh), jnp.float32)
+    dk, dv = jax.lax.fori_loop(start, n_q, body, (dk0, dv0))
+    dk_ref[:] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, bias, out, lse, g, causal, sm_scale, bq, bk):
+    B, H, Tq, Dh = q.shape
+    S = k.shape[2]
+    qp, kp, vp = _pad_to(q, 2, bq), _pad_to(k, 2, bk), _pad_to(v, 2, bk)
+    gp = _pad_to(g, 2, bq)
+    biasp = _pad_to(bias.astype(jnp.float32), 1, bk, value=_NEG_BIG)[:, None, :]
+    lsep = _pad_to(lse, 2, bq)[:, :, None, :]  # [B,H,1,Tqp]
+    # Δ = rowsum(dO ⊙ O): one fused elementwise+reduce in XLA
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [B,H,Tq]
+    deltap = _pad_to(delta, 2, bq)[:, :, None, :]
+    Tqp, Sp = qp.shape[2], kp.shape[2]
+    offset = S - Tq
+
+    common = dict(sm_scale=sm_scale, causal=causal, bq=bq, bk=bk, offset=offset)
+    bias_spec = pl.BlockSpec((None, 1, Sp), lambda b, h, i: (b, 0, 0))
+    q_full = pl.BlockSpec((None, None, Tqp, Dh), lambda b, h, i: (b, h, 0, 0))
+    kv_full = pl.BlockSpec((None, None, Sp, Dh), lambda b, h, i: (b, h, 0, 0))
+    q_blk = pl.BlockSpec((None, None, bq, Dh), lambda b, h, i: (b, h, i, 0))
+    kv_blk = pl.BlockSpec((None, None, bk, Dh), lambda b, h, i: (b, h, i, 0))
+    row_full = pl.BlockSpec((None, None, 1, Tqp), lambda b, h, i: (b, h, 0, 0))
+    row_blk = pl.BlockSpec((None, None, 1, bq), lambda b, h, i: (b, h, 0, i))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid=(B, H, Tqp // bq),
+        in_specs=[bias_spec, q_blk, kv_full, kv_full, q_blk, row_blk, row_blk],
+        out_specs=q_blk,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tqp, Dh), q.dtype),
+        interpret=_FORCE_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * Tqp * Sp * Dh,
+            bytes_accessed=2 * (qp.size + kp.size + vp.size + gp.size),
+            transcendentals=B * H * Tqp * Sp,
+        ),
+    )(biasp, qp, kp, vp, gp, lsep, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid=(B, H, Sp // bk),
+        in_specs=[
+            pl.BlockSpec((None, 1, bk), lambda b, h, i: (b, 0, i)),
+            q_full,
+            kv_blk,
+            kv_blk,
+            q_full,
+            row_full,
+            row_full,
+        ],
+        out_specs=[kv_blk, kv_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sp, Dh), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Sp, Dh), v.dtype),
+        ],
+        interpret=_FORCE_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * H * Tqp * Sp * Dh,
+            bytes_accessed=2 * (qp.size + kp.size + vp.size + gp.size),
+            transcendentals=B * H * Tqp * Sp,
+        ),
+    )(biasp, qp, kp, vp, gp, lsep, deltap)
+
+    return (
+        dq[:, :, :Tq, :],
+        dk[:, :, :S, :],
+        dv[:, :, :S, :],
+        jnp.zeros_like(bias),  # bias is a padding mask, not a learned term
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_mha(q, k, v, bias, causal, sm_scale, bq, bk):
-    return _flash_forward(q, k, v, bias, causal, sm_scale, bq, bk)
+    out, _ = _flash_forward(q, k, v, bias, causal, sm_scale, bq, bk)
+    return out
 
 
 def _flash_mha_fwd(q, k, v, bias, causal, sm_scale, bq, bk):
-    out = _flash_forward(q, k, v, bias, causal, sm_scale, bq, bk)
-    return out, (q, k, v, bias)
+    out, lse = _flash_forward(q, k, v, bias, causal, sm_scale, bq, bk)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_mha_bwd(causal, sm_scale, bq, bk, res, g):
-    # Recompute-based backward in XLA: memory-light (nothing saved from the
-    # forward but q/k/v) and MXU-friendly; Mosaic backward kernel is a
-    # later optimization.
-    q, k, v, bias = res
-
-    def f(q, k, v, bias):
-        return _xla_attention(q, k, v, bias, causal, sm_scale)
-
-    _, vjp = jax.vjp(f, q, k, v, bias)
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias
+    q, k, v, bias, out, lse = res
+    return _flash_backward(q, k, v, bias, out, lse, g, causal, sm_scale, bq, bk)
 
 
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
