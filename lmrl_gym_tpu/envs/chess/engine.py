@@ -144,3 +144,41 @@ def random_move_san(fen: str, seed: int = 0) -> Optional[str]:
 
 def perft(fen: str, depth: int) -> int:
     return get_lib().cc_perft(fen.encode(), depth)
+
+
+class EnginePool:
+    """Batched engine bridge for vectorized env stepping.
+
+    The reference runs one Stockfish subprocess per env slot
+    (chess/env/env.py:56); here the C search is in-process and ctypes
+    releases the GIL for the call's duration, so a thread pool turns a
+    batch of positions into parallel native searches — the host-callback
+    bridge SURVEY.md §2.11 asks for.
+    """
+
+    def __init__(self, workers: int = 8, elo: int = 1200, node_budget: int = 200_000):
+        from concurrent.futures import ThreadPoolExecutor
+
+        get_lib()  # build/load once before threads race on it
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self.elo = elo
+        self.node_budget = node_budget
+
+    def best_moves(self, fens, seeds=None):
+        """[fen, ...] → [san | None, ...] searched concurrently."""
+        if seeds is None:
+            seeds = range(len(fens))
+        futs = [
+            self._pool.submit(best_move_san, f, self.elo, self.node_budget, s)
+            for f, s in zip(fens, seeds)
+        ]
+        return [f.result() for f in futs]
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

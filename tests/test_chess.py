@@ -237,3 +237,18 @@ class TestChessData:
             for tt in links:
                 assert len(tt.text_history) == 2
                 assert tt.text_history[1].is_action
+
+
+def test_engine_pool_batched_moves():
+    from lmrl_gym_tpu.envs.chess.engine import Board, EnginePool, STARTING_FEN
+
+    fens = [STARTING_FEN] * 4 + [
+        "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0 1"
+    ]
+    with EnginePool(workers=4, node_budget=5_000) as pool:
+        moves = pool.best_moves(fens)
+    assert len(moves) == 5
+    for fen, mv in zip(fens, moves):
+        assert mv is not None
+        b = Board(fen)
+        assert b.push_san(mv)  # every reply is legal in its position

@@ -203,3 +203,15 @@ class TestReRanker:
         )
         outs = [policy.act([h])[0][-1].text for _ in range(20)]
         assert outs.count("a") >= 19  # overwhelming preference
+
+
+def test_human_policy_scripted_input():
+    from lmrl_gym_tpu.envs.human import HumanPolicy
+    from lmrl_gym_tpu.text.frames import Text
+
+    fed, shown = iter(["move up"]), []
+    policy = HumanPolicy(input_fn=lambda _: next(fed), print_fn=shown.append)
+    history = (Text("obs1\n", False),)
+    out = policy.act(history)
+    assert shown == ["obs1\n"]
+    assert out[-1] == Text("move up\n", True)
