@@ -238,6 +238,36 @@ def block_ppo_data(
     )
 
 
+def fold_trajectory_to_length(
+    trajectory,
+    tokenizer,
+    max_length: int,
+    gamma: float = 1.0,
+):
+    """Context-overflow folding (wordle/ppo/train_ppo_gpt2.py:311-335):
+    while the tokenized trajectory exceeds max_length, drop the trailing
+    (state, action) pair and fold its discounted reward into the new last
+    action. Returns a TextTrajectory that fits (or has one action left)."""
+    from lmrl_gym_tpu.text.frames import TextTrajectory
+
+    history = list(trajectory.text_history)
+    rewards = list(trajectory.reward)
+
+    def total_tokens():
+        return sum(len(tokenizer.encode(t.text)) for t in history)
+
+    while total_tokens() > max_length:
+        action_idxs = [i for i, t in enumerate(history) if t.is_action]
+        if len(action_idxs) <= 1:
+            break
+        last_a, prev_a = action_idxs[-1], action_idxs[-2]
+        folded = rewards[last_a]
+        history = history[: prev_a + 1]
+        rewards = rewards[: prev_a + 1]
+        rewards[prev_a] = rewards[prev_a] + gamma * folded
+    return TextTrajectory(tuple(history), tuple(rewards), trajectory.done)
+
+
 class CombinedChain(NamedTuple):
     """Chain flattened to one token stream (base_interface.py:295-343)."""
 

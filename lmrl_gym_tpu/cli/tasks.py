@@ -38,6 +38,42 @@ class Task:
     stop_token: str = "\n"
 
 
+def transitions_to_chain(transitions) -> TextTrajectoryChain:
+    """One rollout's InteractionTransitions → TextTrajectoryChain (the
+    conversion every online loader performs on fresh rollouts, cf.
+    wordle/ppo/train_ppo_gpt2.py:311).
+
+    If the env keeps the whole conversation in the history (dialog tasks,
+    wordle), emit one window with each action's reward on its Text. If the
+    env windows its history (maze last_k, chess Markov FEN), the final
+    history has dropped earlier actions — emit a chain of per-step windows
+    (post_action_history) instead, linked for cross-window credit."""
+    final = transitions[-1].post_transition_history
+    n_actions_in_final = sum(1 for t in final if t.is_action)
+    if n_actions_in_final == len(transitions):
+        per_action = [t.reward for t in transitions]
+        rewards, ai = [], 0
+        for t in final:
+            if t.is_action:
+                rewards.append(per_action[ai])
+                ai += 1
+            else:
+                rewards.append(0.0)
+        return TextTrajectoryChain(
+            TextTrajectory(final, tuple(rewards), transitions[-1].done), None
+        )
+    chain = None
+    for tr in reversed(transitions):
+        h = tr.post_action_history
+        assert h[-1].is_action
+        rewards = [0.0] * len(h)
+        rewards[-1] = float(tr.reward)
+        chain = TextTrajectoryChain(
+            TextTrajectory(h, tuple(rewards), bool(tr.done)), chain
+        )
+    return chain
+
+
 def _chain_from_markov_steps(steps) -> TextTrajectoryChain:
     """[(obs_text, action_text, reward, done)] → chain of 1-step windows."""
     chain = None
@@ -151,6 +187,71 @@ def generate_chess_endgame_chains(n: int, seed: int, pieces: str = "kQK") -> Lis
         opponent_elo=1200,
         max_moves=50,
         seed=seed,
+    )
+
+
+def build_maze_partial_env(max_steps: int = 100, last_k: int = 40) -> TextEnv:
+    """Partially observed maze: walls-only observations (the reference's
+    partially_observed script family; describe_observation_only_walls,
+    maze/env/env.py:69-81). History window carries the missing state."""
+    from lmrl_gym_tpu.envs.maze.env import MazeEnv, describe_observation_only_walls
+    from lmrl_gym_tpu.envs.maze.grids import double_t_maze
+
+    return MazeEnv(
+        maze=double_t_maze(),
+        valid_goals=np.asarray([(8, 6)]),
+        max_steps=max_steps,
+        describe_function=describe_observation_only_walls,
+        last_k=last_k,
+    )
+
+
+def generate_maze_partial_chains(n: int, seed: int, p_optimal: float = 0.7) -> List[TextTrajectoryChain]:
+    """Optimal/random mixture on the walls-only env; whole rolling window
+    per step (non-Markov: position must be inferred from move history)."""
+    from lmrl_gym_tpu.envs.maze.grids import ACTION_STRS, double_t_maze, maze_solver
+
+    maze = double_t_maze()
+    solver = maze_solver(maze, (8, 6))
+    rng = random.Random(seed)
+    env = build_maze_partial_env()
+    chains = []
+    for i in range(n):
+        obs = env.reset(seed=seed * 100003 + i)
+        steps = []
+        done = False
+        while not done and len(steps) < 40:
+            if rng.random() < p_optimal and tuple(env.position) in solver:
+                action = solver[tuple(env.position)]
+            else:
+                action = rng.choice(ACTION_STRS)
+            history = obs + (Text(action, True),)
+            new_obs, reward, done = env.step(history)
+            steps.append((history[0].text, action, reward, done))
+            obs = new_obs
+        if not done:
+            steps[-1] = steps[-1][:3] + (True,)
+        chains.append(_chain_from_markov_steps(steps))
+    return chains
+
+
+# ---------------- chess (full game) ----------------
+
+
+def build_chess_env(max_moves: int = 100, opponent_elo: int = 1200) -> TextEnv:
+    """Full chess from the standard start vs the engine opponent
+    (reference FenChessHistoryEnv over full games, chess/env/env.py:218-244)."""
+    from lmrl_gym_tpu.envs.chess.env import FenChessEnv
+
+    return FenChessEnv(max_moves=max_moves, opponent_elo=opponent_elo)
+
+
+def generate_chess_chains(n: int, seed: int) -> List[TextTrajectoryChain]:
+    from lmrl_gym_tpu.envs.chess.data import generate_selfplay_games
+
+    return generate_selfplay_games(
+        n, from_position_fn=None, agent_elo=2000, opponent_elo=1200,
+        max_moves=60, seed=seed,
     )
 
 
@@ -277,21 +378,7 @@ def generate_twenty_questions_chains(n: int, seed: int) -> List[TextTrajectoryCh
         from lmrl_gym_tpu.envs.base import interact_environment
 
         transitions = interact_environment(env, policy, env_seed=seed * 104729 + i)[0]
-        final = transitions[-1].post_transition_history
-        rewards = []
-        ai = 0
-        per_action = [t.reward for t in transitions]
-        for t in final:
-            if t.is_action:
-                rewards.append(per_action[ai])
-                ai += 1
-            else:
-                rewards.append(0.0)
-        chains.append(
-            TextTrajectoryChain(
-                TextTrajectory(final, tuple(rewards), transitions[-1].done), None
-            )
-        )
+        chains.append(transitions_to_chain(transitions))
     return chains
 
 
@@ -343,20 +430,7 @@ def generate_guess_city_chains(n: int, seed: int) -> List[TextTrajectoryChain]:
     for i in range(n):
         policy = HeuristicCityAskerPolicy(rng=rng)
         transitions = interact_environment(env, policy, env_seed=seed * 15485863 + i)[0]
-        final = transitions[-1].post_transition_history
-        per_action = [t.reward for t in transitions]
-        rewards, ai = [], 0
-        for t in final:
-            if t.is_action:
-                rewards.append(per_action[ai])
-                ai += 1
-            else:
-                rewards.append(0.0)
-        chains.append(
-            TextTrajectoryChain(
-                TextTrajectory(final, tuple(rewards), transitions[-1].done), None
-            )
-        )
+        chains.append(transitions_to_chain(transitions))
     return chains
 
 
@@ -398,30 +472,27 @@ def generate_car_dealer_chains(n: int, seed: int) -> List[TextTrajectoryChain]:
     for i in range(n):
         policy = ScriptedSellerPolicy(rng=rng)
         transitions = interact_environment(env, policy, env_seed=seed * 32452843 + i)[0]
-        final = transitions[-1].post_transition_history
-        per_action = [t.reward for t in transitions]
-        rewards, ai = [], 0
-        for t in final:
-            if t.is_action:
-                rewards.append(per_action[ai])
-                ai += 1
-            else:
-                rewards.append(0.0)
-        chains.append(
-            TextTrajectoryChain(
-                TextTrajectory(final, tuple(rewards), transitions[-1].done), None
-            )
-        )
+        chains.append(transitions_to_chain(transitions))
     return chains
 
 
 TASKS: Dict[str, Task] = {
     "maze": Task("maze", build_maze_env, generate_maze_chains, max_length=192),
+    "maze_partial": Task(
+        "maze_partial", build_maze_partial_env, generate_maze_partial_chains, max_length=384
+    ),
     "wordle": Task("wordle", build_wordle_env, generate_wordle_chains, max_length=160),
+    "chess": Task("chess", build_chess_env, generate_chess_chains, max_length=160),
     "chess_endgames": Task(
         "chess_endgames", build_chess_endgame_env, generate_chess_endgame_chains, max_length=160
     ),
     "text_nav": Task("text_nav", build_text_nav_env, generate_text_nav_chains, max_length=512),
+    "text_nav_partial": Task(
+        "text_nav_partial",
+        lambda **kw: build_text_nav_env(display_location=False, **kw),
+        generate_text_nav_chains,
+        max_length=512,
+    ),
     "twenty_questions": Task(
         "twenty_questions",
         build_twenty_questions_env,

@@ -55,6 +55,7 @@ from lmrl_gym_tpu.core.optimizer import OptimizerConfig, make_optimizer
 from lmrl_gym_tpu.core.profiling import Throughput
 from lmrl_gym_tpu.envs.base import text_env_eval
 from lmrl_gym_tpu.loops.offline import OfflineLoopConfig, offline_train_loop
+from lmrl_gym_tpu.loops.online import OnlineLoopConfig, online_train_loop
 from lmrl_gym_tpu.models.config import (
     TransformerConfig,
     gpt2_medium,
@@ -133,6 +134,13 @@ def parse_args(argv=None):
     p.add_argument("--ppo-kl-weight", type=float, default=0.01)
     p.add_argument("--ppo-lam", type=float, default=0.95)
     p.add_argument("--no-eval", action="store_true")
+    # online (round-based) mode: fresh rollouts with the live policy each
+    # round (the reference's ppo/train.py:138 loop, which also serves
+    # online ILQL and online filtered BC). 0 = offline.
+    p.add_argument("--online-rounds", type=int, default=0)
+    p.add_argument("--rollouts-per-round", type=int, default=32)
+    p.add_argument("--rollout-bsize", type=int, default=8)
+    p.add_argument("--rollout-temperature", type=float, default=1.0)
     return p.parse_args(argv)
 
 
@@ -174,6 +182,55 @@ def build_head(kind: str, config, mesh, key, output_dim: Optional[int] = None, b
         match_partition_rules(head_cfg.partition_rules(), params), params, mesh
     )
     return head, head_cfg, shard_pytree(params, specs, mesh)
+
+
+def collect_rollout_chains(args, task, tokenizer, generate_batch, seed):
+    """Fresh rollouts with the live policy → TextTrajectoryChains (the
+    per-round `load_dataset` body of the reference online loops,
+    ppo/train.py:273 + wordle/ppo/train_ppo_gpt2.py:301-341)."""
+    from lmrl_gym_tpu.cli.tasks import transitions_to_chain
+
+    policy = GenerationPolicy(
+        generate_batch=generate_batch, key=jax.random.PRNGKey(seed)
+    )
+    env = task.build_env()
+    interactions, summary = text_env_eval(
+        env,
+        policy,
+        n_rollouts=args.rollouts_per_round,
+        seed_generator=iter(range(seed, seed + args.rollouts_per_round)),
+        bsize=min(args.rollouts_per_round, args.rollout_bsize),
+    )
+    chains = [transitions_to_chain(t) for t in interactions]
+    # fold single-window conversations that overflow the training window
+    # (reward-folding truncation, wordle/ppo/train_ppo_gpt2.py:311-335);
+    # multi-window chains are already env-windowed.
+    from lmrl_gym_tpu.algos.ppo import fold_trajectory_to_length
+    from lmrl_gym_tpu.text.frames import TextTrajectoryChain
+
+    max_len = args.max_length or task.max_length
+    chains = [
+        TextTrajectoryChain(
+            fold_trajectory_to_length(
+                c.text_trajectory, tokenizer, max_len - 1, args.gamma
+            ),
+            None,
+        )
+        if c.next is None
+        else c
+        for c in chains
+    ]
+    return chains, summary
+
+
+def make_rollout_sampling(args, tokenizer):
+    return SamplingConfig(
+        max_new_tokens=args.eval_max_new_tokens,
+        temperature=args.rollout_temperature,
+        greedy=False,
+        eos_token_id=ord("\n"),
+        pad_token_id=tokenizer.pad_token_id,
+    )
 
 
 def make_policy_evaluator(args, task, tokenizer, core, get_params):
@@ -296,16 +353,76 @@ def run_bc(args, task, config, tokenizer, core, mesh, key, chains, token_chains,
             args, task, tokenizer, core, lambda s: s.model.params
         )
 
-    state, loop_state = offline_train_loop(
-        state,
-        step,
-        dataset,
-        loop_config,
-        batch_prep=batch_prep,
-        evaluator=evaluator,
-        module_getter=lambda s: {"base": s.model},
-        module_configs={"base": config.to_dict()},
-    )
+    if args.online_rounds > 0:
+        # online (filtered) BC: rollout → filter → BC epochs per round
+        # (algorithms/online_filtered_bc/train.py:167-259); None dataset
+        # skips the round when the filter keeps nothing.
+        server = LMServer(core, tokenizer)
+        sampling = make_rollout_sampling(args, tokenizer)
+        max_len = args.max_length or task.max_length
+
+        def load_dataset(train_state, round_idx):
+            params = train_state.model.params
+
+            def generate_batch(prompts, step_key):
+                outs = server.generate_from_strs(params, prompts, max_len, sampling, step_key)
+                return [p + o for p, o in zip(prompts, outs)]
+
+            chains, summary = collect_rollout_chains(
+                args, task, tokenizer, generate_batch, args.seed * 7 + round_idx * 1009
+            )
+            print(f"round {round_idx}: rollout reward {summary['reward']['mean']:.3f}")
+            if args.algo == "filtered_bc":
+                scored = [(sum(c.text_trajectory.reward), c) for c in chains]
+                kept = algo_data.filter_items(
+                    lambda x: x[0], scored, args.filter_top_frac
+                )
+                chains = [c for _, c in kept]
+                if not chains:
+                    return None
+            token_chains_r = [
+                TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer)
+                for c in chains
+            ]
+            windows = _flatten_chain_windows(token_chains_r)
+            examples = [
+                algo_data.BCExample.from_segments(tt.tokens, tt.is_action)
+                for tt in windows
+            ]
+            return algo_data.ArrayDataset(
+                algo_data.block_bc_examples(examples, strategy, tokenizer.pad_token_id)
+            )
+
+        online_config = OnlineLoopConfig(
+            n_rounds=args.online_rounds,
+            epochs_per_round=args.epochs,
+            train_bsize=args.train_bsize,
+            log_every=args.log_every,
+            eval_every_rounds=None if args.no_eval else 1,
+            save_dir=loop_config.save_dir,
+            seed=args.seed,
+        )
+        state, loop_state = online_train_loop(
+            state,
+            step,
+            load_dataset,
+            online_config,
+            batch_prep=batch_prep,
+            evaluator=evaluator,
+            module_getter=lambda s: {"base": s.model},
+            module_configs={"base": config.to_dict()},
+        )
+    else:
+        state, loop_state = offline_train_loop(
+            state,
+            step,
+            dataset,
+            loop_config,
+            batch_prep=batch_prep,
+            evaluator=evaluator,
+            module_getter=lambda s: {"base": s.model},
+            module_configs={"base": config.to_dict()},
+        )
     print(f"done: {loop_state.step} steps, best_perf={loop_state.best_perf}")
 
 
@@ -426,16 +543,82 @@ def run_ilql_family(args, task, config, tokenizer, core, mesh, key, token_chains
             )
             return summary["reward"]["mean"], summary
 
-    state, loop_state = offline_train_loop(
-        state,
-        step,
-        dataset,
-        loop_config,
-        batch_prep=batch_prep,
-        evaluator=evaluator,
-        module_getter=modules,
-        module_configs={"base": config.to_dict()},
-    )
+    if args.online_rounds > 0:
+        # online ILQL/CQL: value-guided rollouts feed fresh Q-learning
+        # batches each round (the working online-ILQL pattern,
+        # chess/ilql/train_online_ilql.py:285,415-419 — NOT the broken
+        # algorithms/ilql/train_online.py; SURVEY §2.4).
+        server = ValueGuidedServer(
+            core,
+            q_head,
+            v_head if args.algo == "ilql" else None,
+            tokenizer,
+            beta=args.beta,
+            share_trunk=True,
+        )
+        sampling = make_rollout_sampling(args, tokenizer)
+        max_len = args.max_length or task.max_length
+
+        def load_dataset(train_state, round_idx):
+            bundle = ValueRLParams(
+                pi_beta=None,
+                base=train_state.base.params,
+                q1_head=train_state.q1_head.params,
+                q2_head=train_state.q2_head.params,
+                v_head=train_state.v_head.params if args.algo == "ilql" else None,
+            )
+
+            def generate_batch(prompts, step_key):
+                outs = server.generate_from_strs(bundle, prompts, max_len, sampling, step_key)
+                return [p + o for p, o in zip(prompts, outs)]
+
+            chains, summary = collect_rollout_chains(
+                args, task, tokenizer, generate_batch, args.seed * 7 + round_idx * 1009
+            )
+            print(f"round {round_idx}: rollout reward {summary['reward']['mean']:.3f}")
+            examples_r = []
+            for chain in (
+                TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer)
+                for c in chains
+            ):
+                curr = chain
+                while curr is not None:
+                    examples_r.append(algo_data.ILQLExample.from_chain(curr))
+                    curr = curr.next
+            return algo_data.ArrayDataset(
+                algo_data.block_ilql_examples(examples_r, strategy, tokenizer.pad_token_id)
+            )
+
+        online_config = OnlineLoopConfig(
+            n_rounds=args.online_rounds,
+            epochs_per_round=args.epochs,
+            train_bsize=args.train_bsize,
+            log_every=args.log_every,
+            eval_every_rounds=None if args.no_eval else 1,
+            save_dir=loop_config.save_dir,
+            seed=args.seed,
+        )
+        state, loop_state = online_train_loop(
+            state,
+            step,
+            load_dataset,
+            online_config,
+            batch_prep=batch_prep,
+            evaluator=evaluator,
+            module_getter=modules,
+            module_configs={"base": config.to_dict()},
+        )
+    else:
+        state, loop_state = offline_train_loop(
+            state,
+            step,
+            dataset,
+            loop_config,
+            batch_prep=batch_prep,
+            evaluator=evaluator,
+            module_getter=modules,
+            module_configs={"base": config.to_dict()},
+        )
     print(f"done: {loop_state.step} steps, best_perf={loop_state.best_perf}")
 
 
@@ -485,9 +668,10 @@ def run_mc(args, task, config, tokenizer, core, mesh, key, token_chains, strateg
 
 
 def run_ppo(args, task, config, tokenizer, core, mesh, key, token_chains, strategy, loop_config):
-    """Offline PPO: fixed chains → PPOData per epoch with refreshed
-    logprobs/values (the chess-endgames offline PPO pattern,
-    train_ppo_gpt2_offline_endgames.py:269-290)."""
+    """PPO. Offline (default): fixed chains → PPOData per epoch with
+    refreshed logprobs/values (the chess-endgames offline pattern,
+    train_ppo_gpt2_offline_endgames.py:269-290). Online (--online-rounds):
+    fresh policy rollouts per round (ppo/train.py:138-478)."""
     ks = jax.random.split(key, 3)
     policy_params = build_sharded_params(config, mesh, ks[0])
     init_policy_params = jax.tree.map(jnp.array, policy_params)
@@ -510,39 +694,67 @@ def run_ppo(args, task, config, tokenizer, core, mesh, key, token_chains, strate
     )
     max_length = args.max_length or task.max_length
 
-    for epoch in range(args.epochs):
-        forward_fn = make_ppo_forward_fn(
-            core, value_head, init_policy_params,
-            state.policy.params, state.value_head.params, tokenizer.pad_token_id,
+    server = LMServer(core, tokenizer)
+    sampling = make_rollout_sampling(args, tokenizer)
+
+    def round_chains(round_idx):
+        """Online: fresh rollouts with the live policy; offline: the
+        fixed behavior chains every round."""
+        if args.online_rounds == 0:
+            return token_chains
+        params = state.policy.params
+
+        def generate_batch(prompts, step_key):
+            outs = server.generate_from_strs(params, prompts, max_length, sampling, step_key)
+            return [p + o for p, o in zip(prompts, outs)]
+
+        chains, summary = collect_rollout_chains(
+            args, task, tokenizer, generate_batch, args.seed * 7 + round_idx * 1009
         )
-        datas, kls = get_ppo_data_from_chains(
-            forward_fn, tokenizer, token_chains,
-            bsize=args.train_bsize, max_length=max_length,
-            gamma=args.gamma, lam=args.ppo_lam, kl_weight=args.ppo_kl_weight,
-        )
-        blocked = block_ppo_data(
-            datas, BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_length),
-            tokenizer.pad_token_id,
-        )
-        dataset = algo_data.ArrayDataset(blocked)
-        rng = np.random.default_rng(args.seed + epoch)
-        losses = []
-        for b in dataset.batches(args.train_bsize, rng=rng, drop_last=False):
-            key, step_key = jax.random.split(key)
-            batch = PPOBatch(
-                input_ids=jnp.asarray(b["input_ids"]),
-                should_take_action=jnp.asarray(b["should_take_action"]),
-                old_logprobs=jnp.asarray(b["old_logprobs"]),
-                old_values=jnp.asarray(b["old_values"]),
-                old_advantages=jnp.asarray(b["old_advantages"]),
-                old_returns=jnp.asarray(b["old_returns"]),
+        print(f"round {round_idx}: rollout reward {summary['reward']['mean']:.3f}")
+        return [
+            TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer)
+            for c in chains
+        ]
+
+    n_rounds = max(1, args.online_rounds)
+    epochs_per_round = args.epochs if args.online_rounds == 0 else max(1, args.epochs)
+    for round_idx in range(n_rounds):
+        chains_r = round_chains(round_idx)
+        for epoch in range(epochs_per_round):
+            forward_fn = make_ppo_forward_fn(
+                core, value_head, init_policy_params,
+                state.policy.params, state.value_head.params, tokenizer.pad_token_id,
             )
-            state, loss, logs = step(state, batch, step_key)
-            losses.append(float(loss))
-        print(
-            f"ppo epoch {epoch}: mean_kl={float(np.mean(kls)):.4f} "
-            f"mean_loss={float(np.mean(losses)):.4f} ({len(datas)} windows)"
-        )
+            datas, kls = get_ppo_data_from_chains(
+                forward_fn, tokenizer, chains_r,
+                bsize=args.train_bsize, max_length=max_length,
+                gamma=args.gamma, lam=args.ppo_lam, kl_weight=args.ppo_kl_weight,
+            )
+            blocked = block_ppo_data(
+                datas, BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_length),
+                tokenizer.pad_token_id,
+            )
+            dataset = algo_data.ArrayDataset(blocked)
+            rng = np.random.default_rng(args.seed + round_idx * 131 + epoch)
+            losses = []
+            for b in dataset.batches(args.train_bsize, rng=rng, drop_last=False):
+                key, step_key = jax.random.split(key)
+                batch = PPOBatch(
+                    input_ids=jnp.asarray(b["input_ids"]),
+                    should_take_action=jnp.asarray(b["should_take_action"]),
+                    old_logprobs=jnp.asarray(b["old_logprobs"]),
+                    old_values=jnp.asarray(b["old_values"]),
+                    old_advantages=jnp.asarray(b["old_advantages"]),
+                    old_returns=jnp.asarray(b["old_returns"]),
+                )
+                state, loss, logs = step(state, batch, step_key)
+                losses.append(float(loss))
+            print(
+                f"ppo round {round_idx} epoch {epoch}: "
+                f"mean_kl={float(np.mean(kls)):.4f} "
+                f"mean_loss={float(np.mean(losses)):.4f} ({len(datas)} windows)"
+            )
     print("done")
 
 
