@@ -213,6 +213,55 @@ class LMServer:
         ]
 
 
+class Seq2SeqServer:
+    """Encoder-decoder (T5) serving — the reference's T5Inference oracle
+    role (twenty_questions/env/oracle.py:8-9). Same generate_from_strs
+    surface as LMServer, so LMOracle/LMGuessCityOracle take it directly;
+    the prompt goes to the encoder and decoding starts from
+    decoder_start_token_id."""
+
+    def __init__(self, core, tokenizer):
+        self.core = core  # models.encdec.EncDecCore
+        self.tokenizer = tokenizer
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def generate(self, params, enc_ids, enc_mask, sampling: SamplingConfig, key):
+        B = enc_ids.shape[0]
+        cfg = self.core.config
+        logits_fn, carry = self.core.make_seq2seq_logits_fn(
+            params, enc_ids, enc_mask, 1 + sampling.max_new_tokens
+        )
+        start = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
+        return generate(
+            logits_fn, carry, start, jnp.ones((B, 1), jnp.int32), key, sampling
+        )
+
+    def generate_from_strs(
+        self,
+        params,
+        prompts: Sequence[str],
+        max_input_length: int,
+        sampling: SamplingConfig,
+        key: jax.Array,
+    ) -> List[str]:
+        tok = self.tokenizer
+        # encoder input: RIGHT padding keeps real tokens contiguous from
+        # position 0 (relative-position buckets unaffected by pad slots)
+        ids = block_sequences(
+            [tok.encode(p) for p in prompts],
+            tok.pad_token_id,
+            np.int32,
+            BlockingStrategy(Padding.RIGHT, Truncation.LEFT, max_input_length),
+        )
+        ids = jnp.asarray(ids)
+        mask = (ids != tok.pad_token_id).astype(jnp.int32)
+        tokens, token_mask = self.generate(params, ids, mask, sampling, key)
+        return [
+            tok.decode([int(t) for t, m in zip(row, mrow) if m])
+            for row, mrow in zip(np.asarray(tokens), np.asarray(token_mask))
+        ]
+
+
 @dataclass
 class GenerationPolicy(BatchedTextPolicy):
     """histories → generate → append Text(output, True)

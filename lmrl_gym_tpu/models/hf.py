@@ -326,6 +326,150 @@ def _params_to_llama(p: Dict[str, Any], config: TransformerConfig) -> Dict[str, 
     return out
 
 
+# ---------------- T5 (encoder-decoder) ----------------
+
+
+def encdec_config_from_hf(hf_config) -> "EncDecConfig":
+    """transformers T5Config → EncDecConfig (reference oracle family,
+    twenty_questions/env/oracle.py:20)."""
+    from lmrl_gym_tpu.models.encdec import EncDecConfig
+
+    assert hf_config.model_type == "t5", hf_config.model_type
+    proj = getattr(hf_config, "feed_forward_proj", "relu")
+    proj = "gated-gelu" if "gated" in proj else "relu"
+    return EncDecConfig(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.d_model,
+        d_kv=hf_config.d_kv,
+        d_ff=hf_config.d_ff,
+        num_layers=hf_config.num_layers,
+        num_decoder_layers=getattr(hf_config, "num_decoder_layers", None),
+        num_heads=hf_config.num_heads,
+        relative_attention_num_buckets=hf_config.relative_attention_num_buckets,
+        relative_attention_max_distance=getattr(
+            hf_config, "relative_attention_max_distance", 128
+        ),
+        feed_forward_proj=proj,
+        layer_norm_epsilon=hf_config.layer_norm_epsilon,
+        dropout_rate=hf_config.dropout_rate,
+        tie_word_embeddings=bool(getattr(hf_config, "tie_word_embeddings", True)),
+        decoder_start_token_id=hf_config.decoder_start_token_id,
+        pad_token_id=hf_config.pad_token_id,
+    )
+
+
+def _t5_attn(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    return {
+        "q": {"kernel": sd[prefix + "q.weight"].T},
+        "k": {"kernel": sd[prefix + "k.weight"].T},
+        "v": {"kernel": sd[prefix + "v.weight"].T},
+        "o": {"kernel": sd[prefix + "o.weight"].T},
+    }
+
+
+def _t5_mlp(sd: Dict[str, np.ndarray], prefix: str, gated: bool) -> Dict[str, Any]:
+    if gated:
+        return {
+            "wi_0": {"kernel": sd[prefix + "wi_0.weight"].T},
+            "wi_1": {"kernel": sd[prefix + "wi_1.weight"].T},
+            "wo": {"kernel": sd[prefix + "wo.weight"].T},
+        }
+    return {
+        "wi": {"kernel": sd[prefix + "wi.weight"].T},
+        "wo": {"kernel": sd[prefix + "wo.weight"].T},
+    }
+
+
+def encdec_params_from_hf_state_dict(state: Mapping[str, Any], config) -> Dict[str, Any]:
+    """HF T5ForConditionalGeneration state dict → our flax tree."""
+    sd = {k: _np(v) for k, v in state.items()}
+    V = config.padded_vocab_size
+    gated = config.feed_forward_proj == "gated-gelu"
+    params: Dict[str, Any] = {
+        "shared": {"embedding": _pad_rows(sd["shared.weight"], V)},
+        "enc_rel_bias": {
+            "embedding": sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+        },
+        "dec_rel_bias": {
+            "embedding": sd["decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+        },
+        "enc_ln_f": {"scale": sd["encoder.final_layer_norm.weight"]},
+        "dec_ln_f": {"scale": sd["decoder.final_layer_norm.weight"]},
+    }
+    for i in range(config.num_layers):
+        p = f"encoder.block.{i}."
+        params[f"enc_blocks_{i}"] = {
+            "ln_self": {"scale": sd[p + "layer.0.layer_norm.weight"]},
+            "self_attn": _t5_attn(sd, p + "layer.0.SelfAttention."),
+            "ln_mlp": {"scale": sd[p + "layer.1.layer_norm.weight"]},
+            "mlp": _t5_mlp(sd, p + "layer.1.DenseReluDense.", gated),
+        }
+    for i in range(config.n_dec_layers):
+        p = f"decoder.block.{i}."
+        params[f"dec_blocks_{i}"] = {
+            "ln_self": {"scale": sd[p + "layer.0.layer_norm.weight"]},
+            "self_attn": _t5_attn(sd, p + "layer.0.SelfAttention."),
+            "ln_cross": {"scale": sd[p + "layer.1.layer_norm.weight"]},
+            "cross_attn": _t5_attn(sd, p + "layer.1.EncDecAttention."),
+            "ln_mlp": {"scale": sd[p + "layer.2.layer_norm.weight"]},
+            "mlp": _t5_mlp(sd, p + "layer.2.DenseReluDense.", gated),
+        }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {"kernel": _pad_rows(sd["lm_head.weight"], V).T}
+    return params
+
+
+def encdec_params_to_hf_state_dict(params: Any, config) -> Dict[str, np.ndarray]:
+    """Inverse of encdec_params_from_hf_state_dict (padding stripped)."""
+    p = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+    Vt = config.vocab_size
+    gated = config.feed_forward_proj == "gated-gelu"
+    out: Dict[str, np.ndarray] = {
+        "shared.weight": p["shared"]["embedding"][:Vt],
+        "encoder.embed_tokens.weight": p["shared"]["embedding"][:Vt],
+        "decoder.embed_tokens.weight": p["shared"]["embedding"][:Vt],
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight": p[
+            "enc_rel_bias"
+        ]["embedding"],
+        "decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight": p[
+            "dec_rel_bias"
+        ]["embedding"],
+        "encoder.final_layer_norm.weight": p["enc_ln_f"]["scale"],
+        "decoder.final_layer_norm.weight": p["dec_ln_f"]["scale"],
+    }
+
+    def put_attn(dst: str, attn: Dict[str, Any]):
+        for n in ("q", "k", "v", "o"):
+            out[dst + f"{n}.weight"] = attn[n]["kernel"].T
+
+    def put_mlp(dst: str, mlp: Dict[str, Any]):
+        names = ("wi_0", "wi_1", "wo") if gated else ("wi", "wo")
+        for n in names:
+            out[dst + f"{n}.weight"] = mlp[n]["kernel"].T
+
+    for i in range(config.num_layers):
+        blk = p[f"enc_blocks_{i}"]
+        t = f"encoder.block.{i}."
+        out[t + "layer.0.layer_norm.weight"] = blk["ln_self"]["scale"]
+        put_attn(t + "layer.0.SelfAttention.", blk["self_attn"])
+        out[t + "layer.1.layer_norm.weight"] = blk["ln_mlp"]["scale"]
+        put_mlp(t + "layer.1.DenseReluDense.", blk["mlp"])
+    for i in range(config.n_dec_layers):
+        blk = p[f"dec_blocks_{i}"]
+        t = f"decoder.block.{i}."
+        out[t + "layer.0.layer_norm.weight"] = blk["ln_self"]["scale"]
+        put_attn(t + "layer.0.SelfAttention.", blk["self_attn"])
+        out[t + "layer.1.layer_norm.weight"] = blk["ln_cross"]["scale"]
+        put_attn(t + "layer.1.EncDecAttention.", blk["cross_attn"])
+        out[t + "layer.2.layer_norm.weight"] = blk["ln_mlp"]["scale"]
+        put_mlp(t + "layer.2.DenseReluDense.", blk["mlp"])
+    if config.tie_word_embeddings:
+        out["lm_head.weight"] = out["shared.weight"]
+    else:
+        out["lm_head.weight"] = p["lm_head"]["kernel"][:, :Vt].T
+    return out
+
+
 def load_hf_pretrained(name_or_path: str):
     """(config, params) from a local HF checkpoint directory.
 
