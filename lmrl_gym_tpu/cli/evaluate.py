@@ -222,7 +222,7 @@ def main(argv=None):
     mesh = load_mesh(tuple(int(x) for x in args.mesh.split(",")))
     tokenizer = ByteTokenizer()
     config = load_config(ckpt_dir, args.model_size)
-    core = LMCore(config)
+    core = LMCore(config, mesh=mesh)
 
     policy = build_eval_policy(args, ckpt_dir, config, tokenizer, core, mesh, max_length)
 

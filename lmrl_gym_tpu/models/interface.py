@@ -34,11 +34,18 @@ def initialize_attn_mask_pos_ids(
 
 
 class LMCore:
-    """Stateless bundle of (config, module) with functional params."""
+    """Stateless bundle of (config, module) with functional params.
 
-    def __init__(self, config: TransformerConfig):
+    Passing a `mesh` turns on Megatron-style activation sharding
+    constraints inside the transformer (residual stream batch-sharded over
+    ('dp','fsdp'), attention/MLP interiors mp-sharded) so GSPMD partitions
+    the train step cleanly with no involuntary remats.
+    """
+
+    def __init__(self, config: TransformerConfig, mesh=None):
         self.config = config
-        self.module = Transformer(config)
+        self.mesh = mesh
+        self.module = Transformer(config, mesh=mesh)
 
     def forward(
         self,

@@ -25,6 +25,7 @@ class ByteTokenizer:
         self.vocab_size = 256 + len(self.specials)
         self.pad_token = "<pad>"
         self.eos_token = "<eos>"
+        self.newline_token_id = 10  # byte value of "\n"
 
     def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
         ids = list(text.encode("utf-8"))
@@ -50,10 +51,24 @@ class ByteTokenizer:
         return {"input_ids": [self.encode(t) for t in text]}
 
 
+def newline_id(tokenizer) -> int:
+    """Token id that ends an action line (generation stop condition)."""
+    return getattr(tokenizer, "newline_token_id", ord("\n"))
+
+
 def load_tokenizer(name_or_path: Optional[str] = None):
-    """HF tokenizer when available locally; ByteTokenizer otherwise."""
-    if name_or_path is None:
+    """Resolve a tokenizer spec:
+
+    - None / "byte" → ByteTokenizer
+    - "bpe:<path>"  → saved in-repo BPE vocab (text/bpe.py)
+    - anything else → locally cached HF tokenizer, ByteTokenizer fallback
+    """
+    if name_or_path is None or name_or_path == "byte":
         return ByteTokenizer()
+    if name_or_path.startswith("bpe:"):
+        from lmrl_gym_tpu.text.bpe import BPETokenizer
+
+        return BPETokenizer.load(name_or_path[len("bpe:"):])
     try:
         from transformers import AutoTokenizer
 
