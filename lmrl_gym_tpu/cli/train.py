@@ -142,7 +142,24 @@ def parse_args(argv=None):
     p.add_argument("--polyak-alpha", type=float, default=0.005)
     p.add_argument("--filter-top-frac", type=float, default=0.3)
     p.add_argument("--ppo-kl-weight", type=float, default=0.01)
+    p.add_argument(
+        "--ppo-kl-target", type=float, default=None,
+        help="adaptive KL controller target (None = fixed kl weight)",
+    )
+    p.add_argument("--ppo-kl-horizon", type=float, default=10000.0)
     p.add_argument("--ppo-lam", type=float, default=0.95)
+    p.add_argument(
+        "--ppo-value-bias-init", type=float, default=0.0,
+        help="value-head bias init (reference wordle PPO uses -4.1)",
+    )
+    p.add_argument(
+        "--bc-loss-weight", type=float, default=0.0,
+        help="mix a masked-BC loss on behavior data into each PPO step",
+    )
+    p.add_argument(
+        "--resume", type=str, default=None,
+        help="checkpoint dir to resume from (policy/value_head + loop_state)",
+    )
     p.add_argument("--no-eval", action="store_true")
     # online (round-based) mode: fresh rollouts with the live policy each
     # round (the reference's ppo/train.py:138 loop, which also serves
@@ -151,7 +168,60 @@ def parse_args(argv=None):
     p.add_argument("--rollouts-per-round", type=int, default=32)
     p.add_argument("--rollout-bsize", type=int, default=8)
     p.add_argument("--rollout-temperature", type=float, default=1.0)
+    # LM-in-the-loop oracles for the dialog tasks (the reference's
+    # finetuned T5 oracle / GPT-2 buyer role): 'lm' loads
+    # --oracle-checkpoint or BC-trains one in-repo from the scripted
+    # teacher first, then env stepping re-enters the mesh per turn.
+    p.add_argument("--oracle", choices=["scripted", "lm"], default="scripted")
+    p.add_argument("--oracle-checkpoint", type=str, default=None)
+    p.add_argument("--oracle-episodes", type=int, default=200)
+    p.add_argument("--oracle-epochs", type=int, default=4)
     return p.parse_args(argv)
+
+
+def resolve_oracle_env(args, task, mesh, save_dir):
+    """--oracle lm: swap the task's env builder for one that steps through
+    a trained LM oracle/buyer on the mesh (VERDICT round-1 item 1;
+    reference oracle.py:20-147 / buyer.py:12-83 roles)."""
+    import dataclasses as _dc
+
+    from lmrl_gym_tpu.envs.lm_oracle import (
+        LM_ENV_BUILDERS,
+        OracleTrainConfig,
+        load_oracle,
+        train_and_save_oracle,
+    )
+
+    assert task.name in LM_ENV_BUILDERS, (
+        f"--oracle lm unsupported for task {task.name}; "
+        f"choose from {sorted(LM_ENV_BUILDERS)}"
+    )
+    if args.oracle_checkpoint:
+        core_o, tok_o, params_o = load_oracle(args.oracle_checkpoint, mesh=mesh)
+        print(f"loaded LM oracle from {args.oracle_checkpoint}")
+    else:
+        oracle_dir = os.path.join(save_dir, "oracle_lm") if save_dir else None
+        cfg = OracleTrainConfig(
+            n_episodes=args.oracle_episodes,
+            epochs=args.oracle_epochs,
+            seed=args.seed,
+        )
+        print(f"training LM oracle for {task.name} ({cfg.n_episodes} episodes)...")
+        if oracle_dir:
+            core_o, tok_o, params_o = train_and_save_oracle(
+                task.name, oracle_dir, cfg, mesh=mesh
+            )
+            print(f"saved LM oracle → {oracle_dir}")
+        else:
+            from lmrl_gym_tpu.envs.lm_oracle import COLLECTORS, train_oracle_lm
+
+            windows = COLLECTORS[task.name](cfg.n_episodes, cfg.seed)
+            core_o, tok_o, params_o, _ = train_oracle_lm(windows, cfg, mesh=mesh)
+
+    builder = LM_ENV_BUILDERS[task.name]
+    return _dc.replace(
+        task, build_env=lambda **kw: builder(core_o, tok_o, params_o, **kw)
+    )
 
 
 def build_tokenizer(args, save_dir=None):
@@ -311,6 +381,9 @@ def main(argv=None):
     mesh = load_mesh(mesh_shape)
     config, tokenizer, core = build_model(args, mesh=mesh, save_dir=save_dir)
     key = jax.random.PRNGKey(args.seed)
+
+    if args.oracle == "lm":
+        task = resolve_oracle_env(args, task, mesh, save_dir)
 
     print(f"generating {args.n_data} behavior episodes for {args.task}...")
     chains = task.generate_chains(args.n_data, args.seed)
@@ -695,16 +768,32 @@ def run_mc(args, task, config, tokenizer, core, mesh, key, token_chains, strateg
 
 
 def run_ppo(args, task, config, tokenizer, core, mesh, key, token_chains, strategy, loop_config):
-    """PPO. Offline (default): fixed chains → PPOData per epoch with
-    refreshed logprobs/values (the chess-endgames offline pattern,
-    train_ppo_gpt2_offline_endgames.py:269-290). Online (--online-rounds):
-    fresh policy rollouts per round (ppo/train.py:138-478)."""
+    """PPO through the round-based online loop (ppo/train.py:138-478):
+    per round — rollouts (online) or the fixed offline chains (the
+    chess-endgames pattern, train_ppo_gpt2_offline_endgames.py:269-290)
+    → ONE refresh of logprobs/values/GAE → KL-controller update from the
+    measured KL (wordle/ppo/train_ppo_gpt2.py:352-353) → train epochs
+    (optionally with a mixed-in BC loss) → eval → checkpoint policy/
+    value_head/loop_state."""
+    from lmrl_gym_tpu.algos.ppo import AdaptiveKLController, FixedKLController
+    from lmrl_gym_tpu.loops.checkpoints import LoopState, load_module_params
+
     ks = jax.random.split(key, 3)
     policy_params = build_sharded_params(config, mesh, ks[0])
-    init_policy_params = jax.tree.map(jnp.array, policy_params)
     value_head, vh_cfg, vh_params = build_head(
-        "linear", config, mesh, ks[1], output_dim=1
+        "linear", config, mesh, ks[1], output_dim=1,
+        bias_init=args.ppo_value_bias_init,
     )
+    loop_state = None
+    if args.resume:
+        policy_params = load_module_params(args.resume, "policy", target=policy_params)
+        vh_params = load_module_params(args.resume, "value_head", target=vh_params)
+        lp = os.path.join(args.resume, "loop_state.pkl")
+        if os.path.exists(lp):
+            loop_state = LoopState.load(lp)
+        print(f"resumed PPO from {args.resume} (round {loop_state.round if loop_state else 0})")
+    # π₀ KL anchor: one frozen copy of the (possibly resumed) init policy
+    init_policy_params = jax.tree.map(jnp.array, policy_params)
     state = PPOTrainState(
         policy=TrainState.create(
             apply_fn=None, params=policy_params,
@@ -715,7 +804,9 @@ def run_ppo(args, task, config, tokenizer, core, mesh, key, token_chains, strate
             tx=make_optimizer(OptimizerConfig(lr=args.head_lr), vh_params),
         ),
     )
-    algo_config = PPOConfig(gamma=args.gamma, lam=args.ppo_lam)
+    algo_config = PPOConfig(
+        gamma=args.gamma, lam=args.ppo_lam, bc_loss_weight=args.bc_loss_weight
+    )
     step = make_ppo_train_step(
         core, value_head, algo_config, tokenizer.pad_token_id, mesh
     )
@@ -724,65 +815,151 @@ def run_ppo(args, task, config, tokenizer, core, mesh, key, token_chains, strate
     server = LMServer(core, tokenizer)
     sampling = make_rollout_sampling(args, tokenizer)
 
-    def round_chains(round_idx):
-        """Online: fresh rollouts with the live policy; offline: the
-        fixed behavior chains every round."""
-        if args.online_rounds == 0:
-            return token_chains
-        params = state.policy.params
+    kl_controller = (
+        AdaptiveKLController(args.ppo_kl_weight, args.ppo_kl_target, args.ppo_kl_horizon)
+        if args.ppo_kl_target is not None
+        else FixedKLController(args.ppo_kl_weight)
+    )
 
-        def generate_batch(prompts, step_key):
-            outs = server.generate_from_strs(params, prompts, max_length, sampling, step_key)
-            return [p + o for p, o in zip(prompts, outs)]
+    # jit-compiled ONCE; params are traced args so round-refreshed params
+    # reuse the executable (round-1 VERDICT weak #8)
+    @jax.jit
+    def _ppo_fwd(init_p, pol_p, vh_p, tokens):
+        from lmrl_gym_tpu.algos.ppo import ppo_forward, token_logprobs_from_logits
+        from lmrl_gym_tpu.models.interface import initialize_attn_mask_pos_ids
 
-        chains, summary = collect_rollout_chains(
-            args, task, tokenizer, generate_batch, args.seed * 7 + round_idx * 1009
+        attention_mask, position_ids = initialize_attn_mask_pos_ids(
+            tokens, tokenizer.pad_token_id
         )
-        print(f"round {round_idx}: rollout reward {summary['reward']['mean']:.3f}")
-        return [
-            TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer)
-            for c in chains
-        ]
+        init_logits, _ = core.forward(init_p, tokens, attention_mask, position_ids)
+        logits, values = ppo_forward(
+            core, value_head, pol_p, vh_p, tokens, attention_mask, position_ids
+        )
+        return (
+            token_logprobs_from_logits(init_logits, tokens),
+            token_logprobs_from_logits(logits, tokens),
+            values,
+        )
 
-    n_rounds = max(1, args.online_rounds)
-    epochs_per_round = args.epochs if args.online_rounds == 0 else max(1, args.epochs)
-    for round_idx in range(n_rounds):
-        chains_r = round_chains(round_idx)
-        for epoch in range(epochs_per_round):
-            forward_fn = make_ppo_forward_fn(
-                core, value_head, init_policy_params,
-                state.policy.params, state.value_head.params, tokenizer.pad_token_id,
-            )
-            datas, kls = get_ppo_data_from_chains(
-                forward_fn, tokenizer, chains_r,
-                bsize=args.train_bsize, max_length=max_length,
-                gamma=args.gamma, lam=args.ppo_lam, kl_weight=args.ppo_kl_weight,
-            )
-            blocked = block_ppo_data(
-                datas, BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_length),
-                tokenizer.pad_token_id,
-            )
-            dataset = algo_data.ArrayDataset(blocked)
-            rng = np.random.default_rng(args.seed + round_idx * 131 + epoch)
-            losses = []
-            for b in dataset.batches(args.train_bsize, rng=rng, drop_last=False):
-                key, step_key = jax.random.split(key)
-                batch = PPOBatch(
-                    input_ids=jnp.asarray(b["input_ids"]),
-                    should_take_action=jnp.asarray(b["should_take_action"]),
-                    old_logprobs=jnp.asarray(b["old_logprobs"]),
-                    old_values=jnp.asarray(b["old_values"]),
-                    old_advantages=jnp.asarray(b["old_advantages"]),
-                    old_returns=jnp.asarray(b["old_returns"]),
+    # optional BC mixin stream from the behavior data
+    # (ppo/gpt2/interface.py:106-211 separate masked-LM batch)
+    bc_blocked = None
+    if args.bc_loss_weight > 0.0:
+        bc_examples = [
+            algo_data.BCExample.from_segments(tt.tokens, tt.is_action)
+            for tt in _flatten_chain_windows(token_chains)
+        ]
+        bc_blocked = algo_data.block_bc_examples(
+            bc_examples, strategy, tokenizer.pad_token_id
+        )
+
+    def load_dataset(train_state, round_idx):
+        if args.online_rounds == 0:
+            chains_r = token_chains
+        else:
+            params = train_state.policy.params
+
+            def generate_batch(prompts, step_key):
+                outs = server.generate_from_strs(
+                    params, prompts, max_length, sampling, step_key
                 )
-                state, loss, logs = step(state, batch, step_key)
-                losses.append(float(loss))
-            print(
-                f"ppo round {round_idx} epoch {epoch}: "
-                f"mean_kl={float(np.mean(kls)):.4f} "
-                f"mean_loss={float(np.mean(losses)):.4f} ({len(datas)} windows)"
+                return [p + o for p, o in zip(prompts, outs)]
+
+            chains, summary = collect_rollout_chains(
+                args, task, tokenizer, generate_batch, args.seed * 7 + round_idx * 1009
             )
-    print("done")
+            print(f"round {round_idx}: rollout reward {summary['reward']['mean']:.3f}")
+            chains_r = [
+                TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer)
+                for c in chains
+            ]
+
+        def forward_fn(tokens):
+            a, b, v = _ppo_fwd(
+                init_policy_params,
+                train_state.policy.params,
+                train_state.value_head.params,
+                tokens,
+            )
+            return np.asarray(a), np.asarray(b), np.asarray(v)
+
+        datas, kls = get_ppo_data_from_chains(
+            forward_fn, tokenizer, chains_r,
+            bsize=args.train_bsize, max_length=max_length,
+            gamma=args.gamma, lam=args.ppo_lam, kl_weight=kl_controller.value,
+        )
+        mean_kl = float(np.mean(kls)) if len(kls) else 0.0
+        kl_controller.update(mean_kl, len(datas))
+        print(
+            f"round {round_idx}: mean_kl={mean_kl:.4f} "
+            f"kl_coef={kl_controller.value:.5f} ({len(datas)} windows)"
+        )
+        blocked = block_ppo_data(
+            datas, BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_length),
+            tokenizer.pad_token_id,
+        )
+        if bc_blocked is not None:
+            # cycle BC rows to the PPO row count so batches slice together
+            idx = (
+                np.arange(len(blocked["input_ids"]))
+                % len(bc_blocked["input_ids"])
+            )
+            blocked["bc_input_ids"] = bc_blocked["input_ids"][idx]
+            blocked["bc_training_mask"] = bc_blocked["training_mask"][idx]
+        return algo_data.ArrayDataset(blocked)
+
+    def batch_prep(b):
+        return PPOBatch(
+            input_ids=jnp.asarray(b["input_ids"]),
+            should_take_action=jnp.asarray(b["should_take_action"]),
+            old_logprobs=jnp.asarray(b["old_logprobs"]),
+            old_values=jnp.asarray(b["old_values"]),
+            old_advantages=jnp.asarray(b["old_advantages"]),
+            old_returns=jnp.asarray(b["old_returns"]),
+            bc_input_ids=(
+                jnp.asarray(b["bc_input_ids"]) if "bc_input_ids" in b else None
+            ),
+            bc_training_mask=(
+                jnp.asarray(b["bc_training_mask"]) if "bc_training_mask" in b else None
+            ),
+        )
+
+    evaluator = None
+    if not args.no_eval:
+        evaluator = make_policy_evaluator(
+            args, task, tokenizer, core, lambda s: s.policy.params
+        )
+
+    online_config = OnlineLoopConfig(
+        n_rounds=max(1, args.online_rounds),
+        epochs_per_round=args.epochs,
+        train_bsize=args.train_bsize,
+        log_every=args.log_every,
+        eval_every_rounds=None if args.no_eval else 1,
+        save_every_rounds=1 if loop_config.save_dir else None,
+        save_dir=loop_config.save_dir,
+        seed=args.seed,
+    )
+    state, out_loop_state = online_train_loop(
+        state,
+        step,
+        load_dataset,
+        online_config,
+        batch_prep=batch_prep,
+        evaluator=evaluator,
+        module_getter=lambda s: {"policy": s.policy, "value_head": s.value_head},
+        module_configs={
+            "policy": config.to_dict(),
+            "value_head": {"kind": "linear", **vars(vh_cfg)}
+            if hasattr(vh_cfg, "__dict__")
+            else {"kind": "linear"},
+        },
+        loop_state=loop_state,
+    )
+    print(
+        f"done: {out_loop_state.step} steps, best_perf={out_loop_state.best_perf}, "
+        f"kl_coef={kl_controller.value:.5f}"
+    )
 
 
 if __name__ == "__main__":
