@@ -103,3 +103,19 @@ def create_trajectory_from_history(
         if word_guessed:
             reward[-2] = 0.0
     return TextTrajectory(tuple(text_history), tuple(reward), done)
+
+
+def asker_postproc(question: str) -> str:
+    """Question validation (guess_city/env/data.py:275-294). Unlike 20Q
+    there is no question-word whitelist: city questions are open-ended."""
+    question = question.strip()
+    if len(question) == 0:
+        return INVALID_QUESTION
+    if question[-1] != "?":
+        question += "?"
+    question = question[0].upper() + question[1:]
+    if len(question.split(" ")) > 40:
+        return INVALID_QUESTION
+    if question[-2] == "." and question.split(" ")[-1] != "etc.?":
+        return INVALID_QUESTION
+    return question + "\n"

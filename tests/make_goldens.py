@@ -129,8 +129,274 @@ def make_maze_optimal_table_golden():
     print(f"maze optimal table: {len(table)} cells")
 
 
+def make_chess_text_goldens():
+    """Chess text protocol (chess/env/env.py:13-26): the module itself
+    needs python-chess + a stockfish binary (absent here), but the four
+    text-protocol functions are dependency-free — exec just their source
+    so the goldens are produced by the reference's own code."""
+    import re as _re
+
+    src = open(os.path.join(REFERENCE, "llm_rl_scripts/chess/env/env.py")).read()
+    ns = {}
+    for fn in (
+        "preprocess_move",
+        "postprocess_move",
+        "preprocess_state",
+        "preprocess_state_og",
+        "postprocess_state",
+    ):
+        m = _re.search(rf"(def {fn}\(.*?\n(?:    .*\n|\n)*)", src)
+        assert m, fn
+        exec(m.group(1), ns)
+
+    fens = [
+        "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq - 0 1",
+        "8/8/8/4k3/8/8/4Q3/4K3 w - - 0 1",
+        "r1bqkb1r/pppp1ppp/2n2n2/4p3/2B1P3/5N2/PPPP1PPP/RNBQK2R w KQkq - 4 4",
+        "8/5k2/8/8/3Q4/8/5K2/8 b - - 12 45",
+    ]
+    moves = ["e4", "Nf3", "Qxe5+", "O-O", "O-O-O", "exd5", "e8=Q#", "Rad1"]
+    cases = dict(
+        preprocess_move={m: ns["preprocess_move"](m) for m in moves},
+        postprocess_move={
+            ns["preprocess_move"](m): ns["postprocess_move"](ns["preprocess_move"](m))
+            for m in moves
+        },
+        preprocess_state={f: ns["preprocess_state"](f) for f in fens},
+        preprocess_state_og={f: ns["preprocess_state_og"](f) for f in fens},
+        postprocess_state={
+            ns["preprocess_state_og"](f): ns["postprocess_state"](
+                ns["preprocess_state_og"](f)
+            )
+            for f in fens
+        },
+    )
+    with open(os.path.join(GOLDEN_DIR, "chess_text.json"), "w") as f:
+        json.dump(cases, f, indent=1)
+    print(f"chess text: {sum(len(v) for v in cases.values())} cases")
+
+
+def _text_history(items):
+    sys.path.insert(0, REFERENCE)
+    from LLM_RL.environment import Text
+
+    return tuple(Text(t, a) for t, a in items)
+
+
+def make_twenty_questions_goldens():
+    """Trajectory builder + reward rules + question validation
+    (twenty_questions/env/data.py).
+
+    NOTE on is_done (data.py:351-391): it needs the nltk perceptron
+    tagger, whose model data is not present in this zero-egress image, so
+    its exact outputs are NOT capturable here. We capture builder
+    trajectories only on paths that do not reach is_done (final answer
+    "No." / max-length cut — the `and` in data.py:109 short-circuits).
+    The repo's is_done mirrors the reference algorithm over a
+    dependency-free tagger (documented divergence,
+    lmrl_gym_tpu/envs/twenty_questions/data.py:145)."""
+    sys.path.insert(0, REFERENCE)
+    from llm_rl_scripts.twenty_questions.env import data as ref_data
+
+    # WordVariants.from_list pos-tags eagerly via nltk; stub the tagging
+    # for construction only (pos_tags unused on the captured paths).
+    ref_data.nltk.word_tokenize = lambda s: s.split()
+    ref_data.nltk.pos_tag = lambda toks: [(t, "NN") for t in toks]
+
+    words = ref_data.get_default_word_list()
+    by_name = {w.words[0].lower(): w for w in words}
+
+    convs = [
+        # (word, [(q, a)...]) — final answer "No." or max-length so the
+        # nltk-dependent guess check is never invoked
+        ("basketball", [("Is it an animal?", "No."), ("Is it a sport?", "Yes."),
+                        ("Is it red?", "No.")]),
+        ("cat", [("Is it an animal?", "Yes."), ("Is it a dog?", "No.")]),
+        ("piano", [("Is it big?", "No.")]),
+        ("car", [(f"Is it thing {i}?", "No.") for i in range(20)]),  # max-length cut
+    ]
+    traj_cases = []
+    for name, qa in convs:
+        history = [(ref_data.INITIAL_STR, False)]
+        for q, a in qa:
+            history.append((q + "\n", True))
+            history.append((a + "\n", False))
+        tt = ref_data.create_trajectory_from_history(
+            by_name[name], _text_history(history)
+        )
+        traj_cases.append(
+            dict(
+                word=name,
+                history=[[t.text, t.is_action] for t in tt.text_history],
+                reward=list(tt.reward),
+                done=bool(tt.done),
+            )
+        )
+
+    postproc_cases = {
+        q: ref_data.asker_postproc(q)
+        for q in [
+            "is it an animal",
+            "Is it a cat?",
+            "tell me the answer",
+            "",
+            "Does it fly",
+            "Could it be " + "very " * 45 + "big?",
+            "Are you sure etc.?",
+        ]
+    }
+    rtg_cases = {str(r): ref_data.rtg_to_token_str(r) for r in [0, -1, -5.0, -20]}
+    with open(os.path.join(GOLDEN_DIR, "twenty_questions.json"), "w") as f:
+        json.dump(
+            dict(
+                initial_str=ref_data.INITIAL_STR,
+                invalid_question=ref_data.INVALID_QUESTION,
+                trajectories=traj_cases,
+                asker_postproc=postproc_cases,
+                is_done="not capturable offline: nltk tagger data absent "
+                "(see make_twenty_questions_goldens docstring)",
+                rtg_tokens=rtg_cases,
+            ),
+            f,
+            indent=1,
+        )
+    print(f"twenty_questions: {len(traj_cases)} trajectories")
+
+
+def make_guess_city_goldens():
+    """Same nltk caveat as make_twenty_questions_goldens: capture only
+    builder paths that short-circuit before is_done."""
+    sys.path.insert(0, REFERENCE)
+    from llm_rl_scripts.guess_city.env import data as ref_data
+
+    ref_data.nltk.word_tokenize = lambda s: s.split()
+    ref_data.nltk.pos_tag = lambda toks: [(t, "NN") for t in toks]
+
+    # the reference loads its city list via a cwd-relative path
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        words = ref_data.get_default_word_list()
+    finally:
+        os.chdir(cwd)
+    cases = []
+    for word, qa in [
+        (words[0], [("Is it in Asia?", "Yes."), ("Is it coastal?", "No.")]),
+        (words[1], [("Is it in Europe?", "No.")]),
+        (words[2], [(f"Is it city {i}?", "No.") for i in range(20)]),
+    ]:
+        history = [(ref_data.INITIAL_STR, False)]
+        for q, a in qa:
+            history.append((q + "\n", True))
+            history.append((a + "\n", False))
+        tt = ref_data.create_trajectory_from_history(word, _text_history(history))
+        cases.append(
+            dict(
+                # the reference's get_default_word_list returns plain
+                # "City,Country" strings (guess_city/env/data.py:49-64)
+                word=word if isinstance(word, str) else word.words[0],
+                history=[[t.text, t.is_action] for t in tt.text_history],
+                reward=list(tt.reward),
+                done=bool(tt.done),
+            )
+        )
+    postproc = {
+        q: ref_data.asker_postproc(q)
+        for q in ["is it in asia", "Is it Tokyo?", "the city is big", ""]
+    }
+    INITIAL_STR = ref_data.INITIAL_STR
+    with open(os.path.join(GOLDEN_DIR, "guess_city.json"), "w") as f:
+        json.dump(
+            dict(initial_str=INITIAL_STR, trajectories=cases, asker_postproc=postproc),
+            f,
+            indent=1,
+        )
+    print(f"guess_city: {len(cases)} trajectories")
+
+
+def make_car_dealer_goldens():
+    """Reward rules (data.py:130-173), verdict extraction (data.py:182-204),
+    role-view trajectory builders (data.py:206-263)."""
+    sys.path.insert(0, REFERENCE)
+    from llm_rl_scripts.car_dealer.env.data import (
+        Role,
+        compute_reward,
+        create_buyer_info_str,
+        create_trajectory_from_conversation,
+        extract_output_from_str,
+    )
+
+    buyer_info = {
+        "personality": "impatient",
+        "preferred_brands": "Toyota",
+        "preferred_type": "SUV",
+        "preferred_features": ["Sunroof", "Backup camera"],
+        "budget": 40000,
+    }
+    outputs = [
+        {"car_bought": True, "msrp": 45000, "buy_price": 38000},
+        {"car_bought": True, "msrp": 30000, "buy_price": 30000},
+        {"car_bought": False, "msrp": 45000, "buy_price": None},
+        {"car_bought": False, "msrp": 35000, "buy_price": None},
+    ]
+    reward_cases = [
+        dict(
+            output=o,
+            fancy=compute_reward(buyer_info, o, "fancy"),
+            revenue=compute_reward(buyer_info, o, "revenue"),
+        )
+        for o in outputs
+    ]
+    extract_cases = []
+    for line in [
+        "Output: Decision=Accept MSRP=$45,000 Buy Price=$38,000",
+        "Sounds good. Output: Decision=Accept MSRP=$30,000 Buy Price=$30,000\n",
+        "Output: Decision=Reject MSRP=$45,000",
+        "I'll think about it.",
+        "Output: Decision=Accept MSRP=$1,000,000 Buy Price=$999,999 thanks",
+    ]:
+        out, extracted = extract_output_from_str(line)
+        extract_cases.append(dict(line=line, output=out, extracted=extracted))
+
+    conversation = {
+        "buyer_info": buyer_info,
+        "lines": [
+            {"role": "seller", "text": "Welcome! Looking for anything special?"},
+            {"role": "buyer", "text": "A Toyota SUV with a sunroof."},
+            {"role": "seller", "text": "I have one at $38,000."},
+            {"role": "buyer", "text": "Deal."},
+        ],
+        "output": outputs[0],
+    }
+    traj_cases = {}
+    for role in (Role.SELLER, Role.BUYER):
+        tt = create_trajectory_from_conversation(conversation, role)
+        traj_cases[str(role)] = dict(
+            history=[[t.text, t.is_action] for t in tt.text_history],
+            reward=list(tt.reward),
+            done=bool(tt.done),
+        )
+    with open(os.path.join(GOLDEN_DIR, "car_dealer.json"), "w") as f:
+        json.dump(
+            dict(
+                buyer_info=buyer_info,
+                buyer_info_str=create_buyer_info_str(buyer_info),
+                rewards=reward_cases,
+                extraction=extract_cases,
+                trajectories=traj_cases,
+            ),
+            f,
+            indent=1,
+        )
+    print(f"car_dealer: {len(reward_cases)} reward cases")
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     make_wordle_goldens()
     make_maze_goldens()
     make_maze_optimal_table_golden()
+    make_chess_text_goldens()
+    make_twenty_questions_goldens()
+    make_guess_city_goldens()
+    make_car_dealer_goldens()
