@@ -49,6 +49,12 @@ class TransformerConfig:
     # non-TPU backends or unsupported shapes it transparently falls back to
     # XLA attention (ops/flash_attention.py), so leaving it on is safe.
     use_flash_attention: bool = True
+    # sequence parallelism: when the model's mesh has an 'sp' axis of
+    # size > 1, the no-cache attention runs as ring attention with the
+    # sequence sharded over 'sp' (parallel/ring_attention.py) and
+    # activations sharded over 'sp' on the T dim — the long-context story
+    # the reference lacks (SURVEY §5; Car-Dealer 50-turn windows).
+    sequence_parallel: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -140,12 +140,12 @@ class Attention(nn.Module):
         qkv = nn.Dense(
             3 * D, dtype=dtype, kernel_init=init, use_bias=cfg.attn_bias, name="qkv"
         )(x)
-        qkv = _act(qkv, self.mesh, _B, None, "mp")
+        qkv = _act(qkv, self.mesh, _B, "sp", "mp")
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             t = t.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)  # [B,H,T,Dh]
-            return _act(t, self.mesh, _B, "mp", None, None)
+            return _act(t, self.mesh, _B, "mp", "sp", None)
 
         q, k, v = heads(q), heads(k), heads(v)
 
@@ -178,7 +178,29 @@ class Attention(nn.Module):
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
         attn_dropout = (not deterministic) and cfg.attn_pdrop > 0
-        if (
+        use_ring = (
+            cfg.sequence_parallel
+            and self.mesh is not None
+            and "sp" in self.mesh.axis_names
+            and self.mesh.shape["sp"] > 1
+            and layer_cache is None
+            and not attn_dropout
+            and T % self.mesh.shape["sp"] == 0
+        )
+        if use_ring:
+            # sequence sharded over 'sp': K/V blocks rotate on the ring
+            # (ppermute over ICI), online-softmax accumulation — the full
+            # [T,T] score matrix never materializes on any chip.
+            from lmrl_gym_tpu.parallel.ring_attention import make_ring_attention
+
+            bias = jnp.where(
+                attention_mask.astype(bool), 0.0, _MASK_BIAS
+            ).astype(jnp.float32)
+            ring = make_ring_attention(
+                self.mesh, causal=True, sm_scale=float(1.0 / Dh**0.5)
+            )
+            out = ring(q, k, v, bias)
+        elif (
             cfg.use_flash_attention
             and layer_cache is None
             and not attn_dropout
@@ -206,7 +228,7 @@ class Attention(nn.Module):
         out = nn.Dense(
             D, dtype=dtype, kernel_init=init, use_bias=cfg.attn_bias, name="out"
         )(out)
-        out = _act(out, self.mesh, _B, None, None)
+        out = _act(out, self.mesh, _B, "sp", None)
         if not deterministic and cfg.resid_pdrop > 0:
             out = nn.Dropout(cfg.resid_pdrop, deterministic=False)(out)
         return out, new_cache
@@ -224,7 +246,7 @@ class MLP(nn.Module):
         h = nn.Dense(
             cfg.mlp_dim, dtype=dtype, kernel_init=init, use_bias=cfg.mlp_bias, name="fc"
         )(x)
-        h = _act(h, self.mesh, _B, None, "mp")
+        h = _act(h, self.mesh, _B, "sp", "mp")
         if cfg.activation == "gelu_new":
             h = nn.gelu(h, approximate=True)
         elif cfg.activation == "gelu":
@@ -242,13 +264,13 @@ class MLP(nn.Module):
                 cfg.mlp_dim, dtype=dtype, kernel_init=init,
                 use_bias=cfg.mlp_bias, name="gate",
             )(x)
-            up = _act(up, self.mesh, _B, None, "mp")
+            up = _act(up, self.mesh, _B, "sp", "mp")
             h = h * up
         h = nn.Dense(
             cfg.hidden_size, dtype=dtype, kernel_init=init,
             use_bias=cfg.mlp_bias, name="proj",
         )(h)
-        h = _act(h, self.mesh, _B, None, None)
+        h = _act(h, self.mesh, _B, "sp", None)
         if not deterministic and cfg.resid_pdrop > 0:
             h = nn.Dropout(cfg.resid_pdrop, deterministic=False)(h)
         return h
@@ -286,7 +308,7 @@ class Block(nn.Module):
             x = x + MLP(cfg, mesh=self.mesh, name="mlp")(
                 _norm(cfg, "ln_2")(x), deterministic
             )
-        x = _act(x, self.mesh, _B, None, None)
+        x = _act(x, self.mesh, _B, "sp", None)
         return x, new_cache
 
 
@@ -325,7 +347,7 @@ class Transformer(nn.Module):
             name="wte",
         )
         x = wte(input_ids)
-        x = _act(x, self.mesh, _B, None, None)
+        x = _act(x, self.mesh, _B, "sp", None)
         if cfg.position_embedding == "learned":
             wpe = nn.Embed(
                 cfg.max_position_embeddings,
@@ -335,7 +357,7 @@ class Transformer(nn.Module):
                 name="wpe",
             )
             x = x + wpe(position_ids)
-            x = _act(x, self.mesh, _B, None, None)
+            x = _act(x, self.mesh, _B, "sp", None)
         if not deterministic and cfg.embd_pdrop > 0:
             x = nn.Dropout(cfg.embd_pdrop, deterministic=False)(x)
 
@@ -367,7 +389,7 @@ class Transformer(nn.Module):
                 kernel_init=nn.initializers.normal(cfg.initializer_range),
                 name="lm_head",
             )(x.astype(jnp.float32))
-        logits = _act(logits, self.mesh, _B, None, "mp")
+        logits = _act(logits, self.mesh, _B, "sp", "mp")
 
         new_cache = None
         if cache is not None:
