@@ -8,7 +8,7 @@ shifted per-token arrays to max_length-1.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence
+from typing import Callable, Dict, Iterator, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -224,3 +224,98 @@ class ArrayDataset:
                 k: (v[sel] if v is not None else None)
                 for k, v in self.arrays.items()
             }
+
+
+class IterableDataset:
+    """Streaming dataset: pulls examples from a re-openable source and
+    collates fixed-size batches on the fly, with an optional bounded
+    shuffle buffer — the reference's Mask/Seq2Seq IterableDataset role
+    (twenty_questions/bc/train_bc.py:106-170) for corpora that don't fit
+    in host memory (car-dealer-scale jsonl dumps).
+
+    `example_factory()` must return a fresh iterator of row dicts
+    (str → np.ndarray) each call, so every epoch re-streams the source.
+    """
+
+    def __init__(self, example_factory: Callable[[], Iterator[Dict[str, np.ndarray]]]):
+        self.example_factory = example_factory
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: Optional[np.random.Generator] = None,
+        drop_last: bool = True,
+        shuffle_buffer: int = 1024,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        def collate(rows: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+            return {
+                k: np.stack([r[k] for r in rows]) for k in rows[0]
+            }
+
+        buffer: List[Dict[str, np.ndarray]] = []
+        pending: List[Dict[str, np.ndarray]] = []
+        for row in self.example_factory():
+            if rng is not None and shuffle_buffer > 1:
+                buffer.append(row)
+                if len(buffer) >= shuffle_buffer:
+                    pending.append(buffer.pop(int(rng.integers(len(buffer)))))
+            else:
+                pending.append(row)
+            if len(pending) >= batch_size:
+                yield collate(pending[:batch_size])
+                pending = pending[batch_size:]
+        if rng is not None:
+            rng.shuffle(buffer)
+        pending.extend(buffer)
+        for start in range(0, len(pending), batch_size):
+            chunk = pending[start : start + batch_size]
+            if len(chunk) == batch_size or (not drop_last and chunk):
+                yield collate(chunk)
+
+
+def bc_rows_from_segments_jsonl(
+    path: str, tokenizer, strategy, pad_token_id: Optional[int] = None
+) -> Callable[[], Iterator[Dict[str, np.ndarray]]]:
+    """jsonl → streaming BC rows. Each line is a list of
+    [text, is_action] segments (one conversation); LM loss is masked to
+    action tokens — the reference's
+    MaskIterableDataset.blocked_from_str_segments_iterable semantics
+    (twenty_questions/bc/train_bc.py:117-135)."""
+    from lmrl_gym_tpu.core.blocking import block_sequences
+    from lmrl_gym_tpu.core.io import jsonl_stream
+
+    pad = tokenizer.pad_token_id if pad_token_id is None else pad_token_id
+
+    def factory() -> Iterator[Dict[str, np.ndarray]]:
+        for segments in jsonl_stream(path):
+            tokens: List[int] = []
+            is_action: List[bool] = []
+            for text, act in segments:
+                ids = tokenizer.encode(text)
+                tokens.extend(ids)
+                is_action.extend([bool(act)] * len(ids))
+            ex = BCExample(
+                input_ids=np.asarray(tokens, np.int32),
+                training_mask=np.asarray(is_action, bool),
+            )
+            blocked = block_bc_examples([ex], strategy, pad)
+            yield {k: v[0] for k, v in blocked.items()}
+
+    return factory
+
+
+def dump_chains_to_segments_jsonl(chains, path: str) -> int:
+    """TextTrajectoryChains → the segments-jsonl format above (one line
+    per chain window). Returns the number of lines written."""
+    from lmrl_gym_tpu.core.io import jsonl_dump
+
+    lines = []
+    for chain in chains:
+        curr = chain
+        while curr is not None:
+            lines.append(
+                [[t.text, bool(t.is_action)] for t in curr.text_trajectory.text_history]
+            )
+            curr = curr.next
+    jsonl_dump(lines, path)
+    return len(lines)

@@ -57,7 +57,7 @@ from lmrl_gym_tpu.parallel.mesh import (
     shard_pytree,
 )
 from lmrl_gym_tpu.text.frames import Text
-from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
+from lmrl_gym_tpu.text.tokenizer import ByteTokenizer, load_tokenizer, newline_id
 
 
 def parse_args(argv=None):
@@ -77,6 +77,10 @@ def parse_args(argv=None):
     p.add_argument("--model-size", choices=sorted(MODEL_SIZES), default="tiny",
                    help="fallback when the checkpoint has no base/config.json")
     p.add_argument("--mesh", type=str, default="1,-1,1")
+    p.add_argument(
+        "--tokenizer", type=str, default="byte",
+        help="byte | bpe:<path> | HF name/path (must match training)",
+    )
     p.add_argument("--n-rollouts", type=int, default=32)
     p.add_argument("--bsize", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=32)
@@ -144,7 +148,7 @@ def build_eval_policy(args, ckpt_dir, config, tokenizer, core, mesh, max_length)
     sampling = SamplingConfig(
         max_new_tokens=args.max_new_tokens,
         greedy=args.greedy,
-        eos_token_id=ord("\n"),
+        eos_token_id=newline_id(tokenizer),
         pad_token_id=tokenizer.pad_token_id,
     )
     pkey = jax.random.PRNGKey(args.seed + 999)
@@ -220,7 +224,7 @@ def main(argv=None):
     print(f"evaluating {ckpt_dir} on {args.task} ({args.algo})")
 
     mesh = load_mesh(tuple(int(x) for x in args.mesh.split(",")))
-    tokenizer = ByteTokenizer()
+    tokenizer = load_tokenizer(args.tokenizer)
     config = load_config(ckpt_dir, args.model_size)
     core = LMCore(config, mesh=mesh)
 

@@ -121,6 +121,16 @@ def parse_args(argv=None):
     )
     p.add_argument("--bpe-vocab-size", type=int, default=2048)
     p.add_argument("--n-data", type=int, default=200, help="episodes of behavior data")
+    p.add_argument(
+        "--data-jsonl", type=str, default=None,
+        help="BC only: stream behavior data from a segments-jsonl file "
+        "instead of holding it in memory (reference MaskIterableDataset "
+        "role); each line = [[text, is_action], ...]",
+    )
+    p.add_argument(
+        "--dump-data-jsonl", type=str, default=None,
+        help="write the generated behavior data to a segments-jsonl file",
+    )
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--train-bsize", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -387,6 +397,9 @@ def main(argv=None):
 
     print(f"generating {args.n_data} behavior episodes for {args.task}...")
     chains = task.generate_chains(args.n_data, args.seed)
+    if args.dump_data_jsonl:
+        n = algo_data.dump_chains_to_segments_jsonl(chains, args.dump_data_jsonl)
+        print(f"dumped {n} windows → {args.dump_data_jsonl}")
     token_chains = [
         TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
     ]
@@ -428,12 +441,22 @@ def run_bc(args, task, config, tokenizer, core, mesh, key, chains, token_chains,
         keep = algo_data.filter_items(lambda x: x[0], scored, args.filter_top_frac)
         windows = _flatten_chain_windows([c for _, c in keep])
         print(f"%BC filter: kept {len(keep)}/{len(token_chains)} chains")
-    examples = [
-        algo_data.BCExample.from_segments(tt.tokens, tt.is_action) for tt in windows
-    ]
-    dataset = algo_data.ArrayDataset(
-        algo_data.block_bc_examples(examples, strategy, tokenizer.pad_token_id)
-    )
+    if args.data_jsonl:
+        # stream from disk: car-dealer-scale corpora never fully resident
+        dataset = algo_data.IterableDataset(
+            algo_data.bc_rows_from_segments_jsonl(
+                args.data_jsonl, tokenizer, strategy
+            )
+        )
+        print(f"streaming BC data from {args.data_jsonl}")
+    else:
+        examples = [
+            algo_data.BCExample.from_segments(tt.tokens, tt.is_action)
+            for tt in windows
+        ]
+        dataset = algo_data.ArrayDataset(
+            algo_data.block_bc_examples(examples, strategy, tokenizer.pad_token_id)
+        )
     params = build_sharded_params(config, mesh, key)
     state = BCTrainState(
         model=TrainState.create(

@@ -48,6 +48,7 @@ def test_evaluate_bc_checkpoint(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_evaluate_ilql_guided_and_reranker(tmp_path):
     save_dir = _train(tmp_path, "ilql")
     guided = eval_cli.main(

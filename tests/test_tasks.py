@@ -12,7 +12,14 @@ TOK = ByteTokenizer()
 @pytest.mark.parametrize("task_name", sorted(TASKS))
 def test_generate_chains(task_name):
     task = TASKS[task_name]
-    n = 2 if task_name in ("twenty_questions", "guess_city", "car_dealer") else 3
+    # full-game chess selfplay runs a deep search per move — one game
+    # validates the pipeline at a fraction of the wall time
+    if task_name in ("chess", "chess_endgames"):
+        n = 1
+    elif task_name in ("twenty_questions", "guess_city", "car_dealer"):
+        n = 2
+    else:
+        n = 3
     chains = task.generate_chains(n, seed=0)
     assert len(chains) == n
     for chain in chains:
