@@ -183,6 +183,10 @@ def parse_args(argv=None):
     # --oracle-checkpoint or BC-trains one in-repo from the scripted
     # teacher first, then env stepping re-enters the mesh per turn.
     p.add_argument("--oracle", choices=["scripted", "lm"], default="scripted")
+    p.add_argument(
+        "--oracle-arch", choices=["decoder", "t5"], default="decoder",
+        help="t5 = seq2seq oracle (reference flan-t5 role; Q/A tasks only)",
+    )
     p.add_argument("--oracle-checkpoint", type=str, default=None)
     p.add_argument("--oracle-episodes", type=int, default=200)
     p.add_argument("--oracle-epochs", type=int, default=4)
@@ -219,14 +223,21 @@ def resolve_oracle_env(args, task, mesh, save_dir):
         print(f"training LM oracle for {task.name} ({cfg.n_episodes} episodes)...")
         if oracle_dir:
             core_o, tok_o, params_o = train_and_save_oracle(
-                task.name, oracle_dir, cfg, mesh=mesh
+                task.name, oracle_dir, cfg, mesh=mesh, arch=args.oracle_arch
             )
             print(f"saved LM oracle → {oracle_dir}")
         else:
-            from lmrl_gym_tpu.envs.lm_oracle import COLLECTORS, train_oracle_lm
+            from lmrl_gym_tpu.envs.lm_oracle import (
+                COLLECTORS,
+                train_oracle_lm,
+                train_t5_oracle_lm,
+            )
 
             windows = COLLECTORS[task.name](cfg.n_episodes, cfg.seed)
-            core_o, tok_o, params_o, _ = train_oracle_lm(windows, cfg, mesh=mesh)
+            trainer = (
+                train_t5_oracle_lm if args.oracle_arch == "t5" else train_oracle_lm
+            )
+            core_o, tok_o, params_o, _ = trainer(windows, cfg, mesh=mesh)
 
     builder = LM_ENV_BUILDERS[task.name]
     return _dc.replace(

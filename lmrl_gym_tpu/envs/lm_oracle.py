@@ -242,35 +242,144 @@ def train_oracle_lm(
     return core, tokenizer, state.model.params, config
 
 
+def train_t5_oracle_lm(
+    windows: List[TextTrajectory],
+    cfg: OracleTrainConfig,
+    mesh=None,
+    tokenizer=None,
+    log: Callable[[str], None] = print,
+):
+    """Seq2seq BC: encoder takes the oracle prompt, decoder teacher-forces
+    the answer — the reference's actual oracle architecture (finetuned
+    flan-t5, twenty_questions/env/oracle.py:8-9,20-147). For the Q/A
+    oracles; the car-dealer buyer stays decoder-only like the reference's
+    GPT-2 buyer."""
+    from lmrl_gym_tpu.core.blocking import block_sequences
+    from lmrl_gym_tpu.models.encdec import (
+        EncDecCore,
+        init_encdec_params,
+        tiny_encdec_config,
+    )
+
+    tokenizer = tokenizer or ByteTokenizer()
+    config = tiny_encdec_config(
+        vocab_size=tokenizer.vocab_size,
+        d_model=cfg.hidden_size,
+        num_layers=max(1, cfg.num_layers // 2),
+        num_heads=cfg.num_heads,
+    )
+    core = EncDecCore(config)
+
+    enc_rows, dec_rows, label_rows = [], [], []
+    max_ans = 16
+    for w in windows:
+        prompt = "".join(t.text for t in w.text_history if not t.is_action)
+        answer = "".join(t.text for t in w.text_history if t.is_action)
+        ans_ids = tokenizer.encode(answer)[: max_ans - 1] + [tokenizer.eos_token_id]
+        enc_rows.append(tokenizer.encode(prompt))
+        dec_rows.append([config.decoder_start_token_id] + ans_ids[:-1])
+        label_rows.append(ans_ids)
+    pad = config.pad_token_id
+    enc = block_sequences(
+        enc_rows, pad, np.int32,
+        BlockingStrategy(Padding.RIGHT, Truncation.LEFT, cfg.max_length),
+    )
+    dec_in = block_sequences(
+        dec_rows, pad, np.int32,
+        BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_ans),
+    )
+    labels = block_sequences(
+        label_rows, pad, np.int32,
+        BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_ans),
+    )
+    dataset = algo_data.ArrayDataset(dict(enc=enc, dec_in=dec_in, labels=labels))
+
+    key = jax.random.PRNGKey(cfg.seed)
+    params = init_encdec_params(config, key)
+    if mesh is not None:
+        specs = refine_specs_for_shapes(
+            match_partition_rules(config.partition_rules(), params), params, mesh
+        )
+        params = shard_pytree(params, specs, mesh)
+    tx = make_optimizer(OptimizerConfig(lr=cfg.lr), params)
+    state = TrainState.create(apply_fn=None, params=params, tx=tx)
+
+    import optax
+
+    @jax.jit
+    def step(state, enc_b, dec_b, lab_b, rng):
+        def loss_fn(p):
+            logits, _ = core.forward(p, enc_b, dec_b, train=True, rng=rng)
+            mask = (lab_b != pad).astype(jnp.float32)
+            xent = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), lab_b
+            )
+            return (xent * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    rng = np.random.default_rng(cfg.seed)
+    last_loss = float("nan")
+    for epoch in range(cfg.epochs):
+        for b in dataset.batches(cfg.train_bsize, rng=rng, drop_last=False):
+            key, sk = jax.random.split(key)
+            state, loss = step(
+                state, jnp.asarray(b["enc"]), jnp.asarray(b["dec_in"]),
+                jnp.asarray(b["labels"]), sk,
+            )
+            last_loss = float(loss)
+        log(f"t5 oracle epoch {epoch}: loss={last_loss:.4f}")
+    return core, tokenizer, state.params, config
+
+
 def train_and_save_oracle(
     task_name: str,
     save_dir: str,
     cfg: Optional[OracleTrainConfig] = None,
     mesh=None,
     tokenizer=None,
+    arch: str = "decoder",
 ):
     """End-to-end: collect windows from the scripted teacher, BC-train,
-    save under <save_dir>/oracle/{config.json,params.msgpack}."""
+    save under <save_dir>/oracle/{config.json,params.msgpack}.
+    arch='t5' trains the seq2seq oracle (Q/A tasks only, matching the
+    reference's T5-oracle / GPT-2-buyer split)."""
     cfg = cfg or OracleTrainConfig()
     windows = COLLECTORS[task_name](cfg.n_episodes, cfg.seed)
-    core, tokenizer, params, config = train_oracle_lm(
-        windows, cfg, mesh=mesh, tokenizer=tokenizer
-    )
+    if arch == "t5":
+        assert task_name != "car_dealer", (
+            "buyer sim is decoder-only (reference GPT-2 buyer)"
+        )
+        core, tokenizer, params, config = train_t5_oracle_lm(
+            windows, cfg, mesh=mesh, tokenizer=tokenizer
+        )
+    else:
+        core, tokenizer, params, config = train_oracle_lm(
+            windows, cfg, mesh=mesh, tokenizer=tokenizer
+        )
     dump_modules(
         save_dir,
         {"oracle": params},
-        configs={"oracle": {**config.to_dict(), "task": task_name}},
+        configs={"oracle": {**config.to_dict(), "task": task_name, "arch": arch}},
     )
     return core, tokenizer, params
 
 
 def load_oracle(save_dir: str, mesh=None, tokenizer=None):
-    """Load a saved oracle LM → (core, tokenizer, params)."""
+    """Load a saved oracle LM (decoder or t5) → (core, tokenizer, params)."""
     tokenizer = tokenizer or ByteTokenizer()
     d = load_module_config(save_dir, "oracle")
     d.pop("task", None)
-    config = TransformerConfig.from_dict(d)
-    core = LMCore(config, mesh=mesh)
+    arch = d.pop("arch", "decoder")
+    if arch == "t5":
+        from lmrl_gym_tpu.models.encdec import EncDecConfig, EncDecCore
+
+        config = EncDecConfig.from_dict(d)
+        core = EncDecCore(config)
+    else:
+        config = TransformerConfig.from_dict(d)
+        core = LMCore(config, mesh=mesh)
 
     params = load_module_params(save_dir, "oracle")
     if mesh is not None:
@@ -284,6 +393,18 @@ def load_oracle(save_dir: str, mesh=None, tokenizer=None):
 # ---------------------------------------------------------------------------
 # env builders with the LM in the loop
 # ---------------------------------------------------------------------------
+
+
+def _server_for(core, tokenizer):
+    """LMServer for decoder oracles, Seq2SeqServer for T5 oracles — both
+    expose the same generate_from_strs surface."""
+    from lmrl_gym_tpu.models.encdec import EncDecCore
+
+    if isinstance(core, EncDecCore):
+        from lmrl_gym_tpu.algos.value_policy import Seq2SeqServer
+
+        return Seq2SeqServer(core, tokenizer)
+    return LMServer(core, tokenizer)
 
 
 def _oracle_sampling(tokenizer, max_new_tokens: int) -> SamplingConfig:
@@ -308,7 +429,7 @@ def build_lm_twenty_questions_env(
     )
     from lmrl_gym_tpu.envs.twenty_questions.oracle import LMOracle
 
-    server = LMServer(core, tokenizer)
+    server = _server_for(core, tokenizer)
     oracle = LMOracle(
         server, params, _oracle_sampling(tokenizer, 8), max_input_length=256
     )
@@ -320,7 +441,7 @@ def build_lm_guess_city_env(core, tokenizer, params, max_conversation_length: in
     from lmrl_gym_tpu.envs.guess_city.data import get_default_word_list
     from lmrl_gym_tpu.envs.guess_city.env import GuessCityEnv, LMGuessCityOracle
 
-    server = LMServer(core, tokenizer)
+    server = _server_for(core, tokenizer)
     oracle = LMGuessCityOracle(
         server, params, _oracle_sampling(tokenizer, 16), max_input_length=256
     )
@@ -330,7 +451,7 @@ def build_lm_guess_city_env(core, tokenizer, params, max_conversation_length: in
 def build_lm_car_dealer_env(core, tokenizer, params, max_conversation_length: int = 50):
     from lmrl_gym_tpu.envs.car_dealer.env import CarDealerEnv, LMBuyerPolicy
 
-    server = LMServer(core, tokenizer)
+    server = _server_for(core, tokenizer)
 
     def buyer_factory(info):
         return LMBuyerPolicy(

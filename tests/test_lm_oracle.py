@@ -149,3 +149,33 @@ def test_lm_guess_city_and_car_dealer_step(tiny_oracle):
         env, ScriptedSellerPolicy(rng=random.Random(0)), env_seed=5, bsize=1
     )[0]
     assert transitions[-1].done
+
+
+def test_t5_oracle_arch_end_to_end(tmp_path):
+    """arch='t5': the seq2seq oracle (reference's actual flan-t5 role)
+    trains, saves, loads, and steps the 20Q env through Seq2SeqServer."""
+    from lmrl_gym_tpu.envs.lm_oracle import train_and_save_oracle
+    from lmrl_gym_tpu.models.encdec import EncDecCore
+
+    cfg = OracleTrainConfig(
+        n_episodes=4, epochs=1, train_bsize=8, max_length=192,
+        hidden_size=64, num_layers=2, num_heads=2,
+    )
+    save_dir = str(tmp_path / "t5_oracle")
+    core, tok, params = train_and_save_oracle(
+        "twenty_questions", save_dir, cfg, arch="t5"
+    )
+    assert isinstance(core, EncDecCore)
+    core2, tok2, params2 = load_oracle(save_dir)
+    assert isinstance(core2, EncDecCore)
+
+    env = build_lm_twenty_questions_env(
+        core2, tok2, params2, max_conversation_length=2, batched=True
+    )
+    from lmrl_gym_tpu.cli.tasks import HeuristicAskerPolicy
+
+    transitions = interact_environment(
+        env, HeuristicAskerPolicy(rng=random.Random(0)), env_seed=[1], bsize=1
+    )
+    for tr in transitions[0]:
+        assert tr.post_transition_history[-1].text in ("Yes.\n", "No.\n")
