@@ -177,6 +177,11 @@ def bench_actor() -> dict:
     )
     core = LMCore(config)
     params = init_params(config, jax.random.PRNGKey(0))
+    # serving reads every weight once per decoded token; bf16 params halve
+    # that HBM traffic (decode is bandwidth-bound) at no quality cost for
+    # a bf16-activation model
+    if os.environ.get("BENCH_SERVE_F32") != "1":
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     step_fn, carry0 = actor.make_lm_step_fn(core, B)
     holder = jnp.zeros((B,))
 
