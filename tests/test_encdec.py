@@ -48,7 +48,15 @@ def _tiny_hf_t5(proj: str, tied: bool):
     return transformers.T5ForConditionalGeneration(cfg).eval()
 
 
-@pytest.mark.parametrize("proj,tied", [("relu", True), ("gated-gelu", False)])
+@pytest.mark.parametrize(
+    "proj,tied",
+    [
+        # the relu/tied variant dominates the file's wall time; the
+        # gated-gelu variant exercises the same parity path
+        pytest.param("relu", True, marks=pytest.mark.slow),
+        ("gated-gelu", False),
+    ],
+)
 def test_hf_t5_logits_parity(proj, tied):
     """Our T5 must reproduce transformers' torch logits from converted
     weights (both v1.0-relu-tied and v1.1/flan gated-gelu-untied)."""

@@ -114,3 +114,121 @@ def test_bc_training_learns_maze():
         f"per-cell optimal-move accuracy too low: {acc_trained:.3f}\n"
         + "\n".join(f"{c}: {v}" for c, v in sorted(per_cell.items()))
     )
+
+
+@pytest.mark.slow
+def test_ilql_value_guided_beats_random_on_maze():
+    """Value-based gate: ILQL on BFS-optimal maze data must make the
+    value-guided policy (beta·min(q1,q2) perturbation) clearly better
+    than decoding from the untrained init. Complements the BC gate with
+    the Q-learning path (reference's headline maze setup,
+    maze/ilql/train_ilql.py)."""
+    import optax
+    from lmrl_gym_tpu.algos.ilql import (
+        ILQLBatch,
+        ILQLConfig,
+        init_ilql_state,
+        make_ilql_train_step,
+    )
+    from lmrl_gym_tpu.algos.value_policy import ValueGuidedServer, ValueRLParams
+    from lmrl_gym_tpu.models.heads import MLPHead, MLPHeadConfig, init_head_params
+
+    tokenizer = ByteTokenizer()
+    config = tiny_test_config(
+        hidden_size=128, num_layers=2, num_heads=4, max_position_embeddings=256
+    )
+    core = LMCore(config)
+
+    chains = generate_maze_chains(100, seed=5, p_optimal=1.0)
+    token_chains = [
+        TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
+    ]
+    examples = []
+    for c in token_chains:
+        curr = c
+        while curr is not None:
+            examples.append(algo_data.ILQLExample.from_chain(curr))
+            curr = curr.next
+    strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, MAX_LEN)
+    dataset = algo_data.ArrayDataset(
+        algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
+    )
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    base_params = init_params(config, ks[0])
+    q_cfg = MLPHeadConfig(
+        input_dim=config.hidden_size,
+        hidden_dim=2 * config.hidden_size,
+        output_dim=config.padded_vocab_size,
+        layer2_initializer_range=0.0,
+    )
+    v_cfg = MLPHeadConfig(
+        input_dim=config.hidden_size,
+        hidden_dim=2 * config.hidden_size,
+        output_dim=1,
+        layer2_initializer_range=0.0,
+    )
+    q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
+    ilql_config = ILQLConfig(gamma=0.99, tau=0.7, cql_weight=0.01, beta=8.0)
+    state = init_ilql_state(
+        base_params,
+        init_head_params(q_head, config.hidden_size, ks[1]),
+        init_head_params(q_head, config.hidden_size, ks[2]),
+        init_head_params(v_head, config.hidden_size, ks[3]),
+        optax.adam(1e-3),
+        optax.adam(1e-3),
+        ilql_config,
+    )
+    step = make_ilql_train_step(
+        core, q_head, v_head, ilql_config, tokenizer.pad_token_id, None
+    )
+
+    server = ValueGuidedServer(
+        core, q_head, v_head, tokenizer, beta=8.0, share_trunk=True
+    )
+    sampling = SamplingConfig(
+        max_new_tokens=12, greedy=True, eos_token_id=10,
+        pad_token_id=tokenizer.pad_token_id,
+    )
+    maze = double_t_maze()
+
+    def acc_of(st):
+        bundle = ValueRLParams(
+            pi_beta=None,
+            base=st.base.params,
+            q1_head=st.q1_head.params,
+            q2_head=st.q2_head.params,
+            v_head=st.v_head.params,
+        )
+
+        def act(histories):
+            prompts = ["".join(t.text for t in h) for h in histories]
+            outs = server.generate_from_strs(
+                bundle, prompts, MAX_LEN, sampling, jax.random.PRNGKey(0)
+            )
+            return [h + (Text(o, True),) for h, o in zip(histories, outs)]
+
+        return per_cell_optimal_move_accuracy(act, maze, GOAL)[0]
+
+    acc_init = acc_of(state)
+    rng = np.random.default_rng(0)
+    for _epoch in range(3):
+        for b in dataset.batches(32, rng=rng, drop_last=False):
+            key, sk = jax.random.split(key)
+            batch = ILQLBatch(
+                input_ids=jnp.asarray(b["input_ids"]),
+                should_take_action=jnp.asarray(b["should_take_action"]),
+                rewards=jnp.asarray(b["rewards"]),
+                dones=jnp.asarray(b["dones"]),
+                next_token_ids=None if b.get("next_token_ids") is None
+                else jnp.asarray(b["next_token_ids"]),
+                next_dones=None if b.get("next_dones") is None
+                else jnp.asarray(b["next_dones"]),
+            )
+            state, loss, _ = step(state, batch, sk)
+    acc_trained = acc_of(state)
+    assert acc_trained > acc_init + 0.2, (
+        f"ILQL did not learn: init={acc_init:.3f} trained={acc_trained:.3f}"
+    )
+    assert acc_trained >= 0.5, f"accuracy too low: {acc_trained:.3f}"

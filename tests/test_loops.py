@@ -95,6 +95,7 @@ def trained_bc():
     return core, state, solver, first_loss, loop_state
 
 
+@pytest.mark.slow
 class TestOfflineBCMaze:
     def test_loss_decreases_strongly(self, trained_bc):
         _, _, _, first_loss, _ = trained_bc

@@ -102,6 +102,7 @@ class TestOnlineCLI:
         main(["--task", "wordle", "--algo", "ppo",
               "--online-rounds", "1", "--eval-max-new-tokens", "16"] + BASE_ARGS)
 
+    @pytest.mark.slow
     def test_online_ilql_wordle(self):
         main(["--task", "wordle", "--algo", "ilql",
               "--online-rounds", "1", "--eval-max-new-tokens", "16"] + BASE_ARGS)
