@@ -66,14 +66,22 @@ def parse_args(argv=None):
     p.add_argument(
         "--algo",
         choices=["bc", "filtered_bc", "ilql", "mc", "cql", "ppo"],
-        required=True,
-        help="algorithm that produced the checkpoint (selects module layout)",
+        default="bc",
+        help="algorithm that produced the checkpoint (selects module "
+             "layout); irrelevant for --policy human|api",
     )
-    p.add_argument("--checkpoint", type=str, required=True,
+    p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint dir (module subdirs), or a save_dir "
                         "containing best/ / epoch_N/ (latest wins)")
-    p.add_argument("--policy", choices=["generate", "guided", "reranker"], default=None,
-                   help="default: guided for value algos, generate otherwise")
+    p.add_argument("--policy",
+                   choices=["generate", "guided", "reranker", "human", "api"],
+                   default=None,
+                   help="default: guided for value algos, generate otherwise; "
+                        "human/api are checkpoint-free baselines (the "
+                        "reference's human_eval/gpt4 script roles)")
+    p.add_argument("--api-model", type=str, default="gpt-4",
+                   help="chat model for --policy api (OPENAI_API_KEY / "
+                        "OPENAI_BASE_URL env vars select the endpoint)")
     p.add_argument("--model-size", choices=sorted(MODEL_SIZES), default="tiny",
                    help="fallback when the checkpoint has no base/config.json")
     p.add_argument("--mesh", type=str, default="1,-1,1")
@@ -216,19 +224,47 @@ def build_eval_policy(args, ckpt_dir, config, tokenizer, core, mesh, max_length)
     return ReRankerPolicy(proposal_fn=proposal_fn, score_batch=score_batch)
 
 
+def build_external_policy(args):
+    """Checkpoint-free baselines: a human at the terminal or a chat API
+    (reference llm_rl_scripts/*/human_eval/* and */gpt4/*)."""
+    if args.policy == "human":
+        from lmrl_gym_tpu.envs.human import HumanPolicy
+
+        return HumanPolicy()
+    from lmrl_gym_tpu.envs.api_policy import (
+        APIChatPolicy,
+        openai_chat_transport,
+        task_instructions,
+    )
+
+    return APIChatPolicy(
+        openai_chat_transport(model=args.api_model),
+        instructions=task_instructions(args.task),
+    )
+
+
 def main(argv=None):
     args = parse_args(argv)
     task = TASKS[args.task]
     max_length = args.max_length or task.max_length
-    ckpt_dir = resolve_checkpoint_dir(args.checkpoint)
-    print(f"evaluating {ckpt_dir} on {args.task} ({args.algo})")
 
-    mesh = load_mesh(tuple(int(x) for x in args.mesh.split(",")))
-    tokenizer = load_tokenizer(args.tokenizer)
-    config = load_config(ckpt_dir, args.model_size)
-    core = LMCore(config, mesh=mesh)
+    if args.policy in ("human", "api"):
+        print(f"evaluating {args.policy} baseline on {args.task}")
+        policy = build_external_policy(args)
+    else:
+        if args.checkpoint is None:
+            raise SystemExit("--checkpoint is required unless --policy human|api")
+        ckpt_dir = resolve_checkpoint_dir(args.checkpoint)
+        print(f"evaluating {ckpt_dir} on {args.task} ({args.algo})")
 
-    policy = build_eval_policy(args, ckpt_dir, config, tokenizer, core, mesh, max_length)
+        mesh = load_mesh(tuple(int(x) for x in args.mesh.split(",")))
+        tokenizer = load_tokenizer(args.tokenizer)
+        config = load_config(ckpt_dir, args.model_size)
+        core = LMCore(config, mesh=mesh)
+
+        policy = build_eval_policy(
+            args, ckpt_dir, config, tokenizer, core, mesh, max_length
+        )
 
     env = task.build_env()
     _, summary = text_env_eval(
@@ -247,9 +283,15 @@ def main(argv=None):
         )
         from lmrl_gym_tpu.envs.maze.grids import DOUBLE_T_GOAL, double_t_maze
 
+        from lmrl_gym_tpu.envs.base import TextPolicy
+
+        if isinstance(policy, TextPolicy):  # per-history baselines
+            act = lambda hs: [policy.act(h) for h in hs]  # noqa: E731
+        else:
+            act = lambda hs: policy.act(hs)  # noqa: E731
         maze = double_t_maze()
         acc, per_cell = per_cell_optimal_move_accuracy(
-            lambda hs: policy.act(hs), maze, DOUBLE_T_GOAL, bsize=args.bsize
+            act, maze, DOUBLE_T_GOAL, bsize=args.bsize
         )
         print(render_accuracy_grid(maze, DOUBLE_T_GOAL, per_cell))
         print(f"per-cell optimal-move accuracy: {acc:.3f}")

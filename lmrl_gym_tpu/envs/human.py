@@ -32,6 +32,8 @@ class HumanPolicy(TextPolicy):
         self._shown = 0
 
     def act(self, text_history: TextHistory) -> TextHistory:
+        if len(text_history) < self._shown:  # new episode started
+            self._shown = 0
         # show only what's new since the last turn
         for item in text_history[self._shown:]:
             self.print_fn(item.text)
