@@ -24,6 +24,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 from lmrl_gym_tpu.models.config import TransformerConfig
+from lmrl_gym_tpu.ops.decode_attention import decode_attention, supports_decode
 from lmrl_gym_tpu.ops.flash_attention import (
     _NEG_BIG as _MASK_BIAS,
     flash_attention,
@@ -200,6 +201,22 @@ class Attention(nn.Module):
                 self.mesh, causal=True, sm_scale=float(1.0 / Dh**0.5)
             )
             out = ring(q, k, v, bias)
+        elif (
+            cfg.use_flash_attention
+            and layer_cache is not None
+            and not attn_dropout
+            and supports_decode(q.shape, T_kv)
+        ):
+            # Fused decode attention: scores stay in VMEM and the KV-chunk
+            # grid is clamped to the cache fill point via scalar-prefetched
+            # `index`, so HBM traffic scales with fill, not T_max
+            # (ops/decode_attention.py; measured ~3x decode speedup on v5e).
+            bias = jnp.where(
+                attention_mask.astype(bool), 0.0, _MASK_BIAS
+            ).astype(jnp.float32)
+            out = decode_attention(
+                q, k, v, index, bias, sm_scale=float(1.0 / Dh**0.5)
+            )
         elif (
             cfg.use_flash_attention
             and layer_cache is None
