@@ -92,7 +92,7 @@ class ValueGuidedServer:
         def logits_fn(tokens, attn_mask, carry):
             pi_cache, base_cache, next_pos = carry
             T = tokens.shape[1]
-            cache_len = base_cache.k.shape[3]
+            cache_len = base_cache.max_len
             if attn_mask.shape[1] < cache_len:
                 attn_mask = jnp.pad(
                     attn_mask, ((0, 0), (0, cache_len - attn_mask.shape[1]))

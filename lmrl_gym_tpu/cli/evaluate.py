@@ -66,9 +66,10 @@ def parse_args(argv=None):
     p.add_argument(
         "--algo",
         choices=["bc", "filtered_bc", "ilql", "mc", "cql", "ppo"],
-        default="bc",
+        default=None,
         help="algorithm that produced the checkpoint (selects module "
-             "layout); irrelevant for --policy human|api",
+             "layout); default: inferred from which head modules exist in "
+             "the checkpoint dir; irrelevant for --policy human|api",
     )
     p.add_argument("--checkpoint", type=str, default=None,
                    help="checkpoint dir (module subdirs), or a save_dir "
@@ -101,7 +102,30 @@ def parse_args(argv=None):
     # chess positional eval
     p.add_argument("--chess-positions", type=int, default=0,
                    help="maze-free chess extra: eval N random endgame positions")
+    p.add_argument(
+        "--no-cell-accuracy", action="store_true",
+        help="maze: skip the per-cell optimal-move sweep after rollouts "
+             "(it is ~100 extra policy calls — billable for --policy api, "
+             "interactive for --policy human, where it is skipped by "
+             "default)",
+    )
     return p.parse_args(argv)
+
+
+def infer_algo(ckpt_dir: str) -> str:
+    """Infer the producing algorithm from the checkpoint's module layout
+    (loops/checkpoints.py module-dir convention), so evaluating a value
+    checkpoint without --algo cannot silently degrade to a plain BC policy
+    (base/ exists in every layout, so nothing would error)."""
+    if has_module(ckpt_dir, "v_head") and has_module(ckpt_dir, "q1_head"):
+        return "ilql"
+    if has_module(ckpt_dir, "q1_head"):  # twin-Q, no V
+        return "cql"
+    if has_module(ckpt_dir, "q_head"):  # single Q = MC-returns
+        return "mc"
+    if has_module(ckpt_dir, "value_head"):
+        return "ppo"
+    return "bc"
 
 
 def resolve_checkpoint_dir(path: str) -> str:
@@ -251,10 +275,17 @@ def main(argv=None):
     if args.policy in ("human", "api"):
         print(f"evaluating {args.policy} baseline on {args.task}")
         policy = build_external_policy(args)
+        if args.policy == "human":
+            # A single HumanPolicy has one transcript/prompt state; batched
+            # slots would interleave episodes through it (ADVICE r2).
+            args.bsize = 1
     else:
         if args.checkpoint is None:
             raise SystemExit("--checkpoint is required unless --policy human|api")
         ckpt_dir = resolve_checkpoint_dir(args.checkpoint)
+        if args.algo is None:
+            args.algo = infer_algo(ckpt_dir)
+            print(f"inferred --algo {args.algo} from checkpoint module layout")
         print(f"evaluating {ckpt_dir} on {args.task} ({args.algo})")
 
         mesh = load_mesh(tuple(int(x) for x in args.mesh.split(",")))
@@ -276,7 +307,8 @@ def main(argv=None):
     )
     results = {"rollouts": summary}
 
-    if args.task == "maze":
+    skip_cell_sweep = args.no_cell_accuracy or args.policy == "human"
+    if args.task == "maze" and not skip_cell_sweep:
         from lmrl_gym_tpu.envs.maze.eval import (
             per_cell_optimal_move_accuracy,
             render_accuracy_grid,

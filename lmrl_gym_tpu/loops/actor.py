@@ -111,7 +111,7 @@ def make_lm_step_fn(core: LMCore, batch: int) -> Tuple[StepFn, Any]:
         logits, _, cache = core.module.apply(
             {"params": params},
             tokens,
-            attention_mask=jnp.ones((batch, cache.k.shape[3]), jnp.int32),
+            attention_mask=jnp.ones((batch, cache.max_len), jnp.int32),
             position_ids=cache.index + jnp.arange(tokens.shape[1])[None, :],
             cache=cache,
             deterministic=True,
@@ -142,7 +142,7 @@ def make_value_guided_step_fn(
         logits, hidden, cache = core.module.apply(
             {"params": p},
             tokens,
-            attention_mask=jnp.ones((batch, cache.k.shape[3]), jnp.int32),
+            attention_mask=jnp.ones((batch, cache.max_len), jnp.int32),
             position_ids=cache.index + jnp.arange(tokens.shape[1])[None, :],
             cache=cache,
             deterministic=True,

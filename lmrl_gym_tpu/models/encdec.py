@@ -405,7 +405,7 @@ class EncoderDecoder(nn.Module):
         x = self._res_drop(self.shared(decoder_input_ids), deterministic)
 
         if cache is not None:
-            T_kv = cache.k.shape[3]
+            T_kv = cache.max_len
             q_pos = cache.index + jnp.arange(T)
             kv_pos = jnp.arange(T_kv)
             causal = kv_pos[None, None, None, :] <= q_pos[None, None, :, None]
@@ -444,7 +444,7 @@ class EncoderDecoder(nn.Module):
             logits = self.lm_head(x.astype(jnp.float32))
         new_cache = None
         if cache is not None:
-            new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v), index=cache.index + T)
+            new_cache = KVCache(k=tuple(new_k), v=tuple(new_v), index=cache.index + T)
         return logits, x, new_cache
 
     def decode_step(
@@ -538,17 +538,19 @@ class EncDecCore:
         cross_k, cross_v = self.module.apply(
             {"params": params}, enc_hidden, method=EncoderDecoder.precompute_cross
         )
-        # decoder self-attn KV cache: d_kv-wide heads, n_dec_layers deep
-        shape = (cfg.n_dec_layers, B, cfg.num_heads, total_dec_len, cfg.d_kv)
+        # decoder self-attn KV cache: d_kv-wide heads, one buffer per
+        # decoder layer (see transformer.KVCache on why not stacked)
+        shape = (B, cfg.num_heads, total_dec_len, cfg.d_kv)
         dtype = jnp.dtype(cfg.dtype)
         cache = KVCache(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_dec_layers)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_dec_layers)),
             index=jnp.zeros((), jnp.int32),
         )
 
         def logits_fn(tokens: jax.Array, attn_mask: jax.Array, carry):
             cache = carry
-            cache_len = cache.k.shape[3]
+            cache_len = cache.max_len
             if attn_mask.shape[1] < cache_len:
                 attn_mask = jnp.pad(attn_mask, ((0, 0), (0, cache_len - attn_mask.shape[1])))
             logits, cache = self.module.apply(

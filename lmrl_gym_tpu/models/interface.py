@@ -85,7 +85,7 @@ class LMCore:
             T = tokens.shape[1]
             # cache may be sized larger than prompt+max_new_tokens; pad the
             # mask out to the physical cache length (pad slots stay masked)
-            cache_len = cache.k.shape[3]
+            cache_len = cache.max_len
             if attn_mask.shape[1] < cache_len:
                 attn_mask = jnp.pad(
                     attn_mask, ((0, 0), (0, cache_len - attn_mask.shape[1]))

@@ -62,19 +62,35 @@ _B = ("dp", "fsdp")
 
 
 class KVCache(struct.PyTreeNode):
-    """Per-model decode cache. k/v: [L, B, H, T_max, Dh]; index: next slot."""
+    """Per-model decode cache. k/v: L-tuples of [B, H, T_max, Dh] buffers
+    (one per layer); index: next slot.
 
-    k: jax.Array
-    v: jax.Array
+    Per-layer buffers — NOT a stacked [L, ...] array — are load-bearing for
+    decode speed: with a stacked cache, slicing layer i out and re-stacking
+    the L updated slices made XLA materialize a fresh copy of the entire
+    multi-GB cache every decode step (measured 20 ms/step at B=512 x
+    gpt2-small x T_max=128 on v5e — the '~130 GB/s effective' mystery in
+    PERF_NOTES.md was this copy, not the attention reads). Separate
+    per-layer buffers flow through scan carries individually, so each
+    dynamic_update_slice writes one token's K/V in place."""
+
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
     index: jax.Array  # [] int32
 
     @classmethod
     def init(cls, config: TransformerConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
         dtype = dtype or jnp.dtype(config.dtype)
-        shape = (config.num_layers, batch, config.num_heads, max_len, config.head_dim)
+        shape = (batch, config.num_heads, max_len, config.head_dim)
         return cls(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), index=jnp.zeros((), jnp.int32)
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(config.num_layers)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(config.num_layers)),
+            index=jnp.zeros((), jnp.int32),
         )
+
+    @property
+    def max_len(self) -> int:
+        return self.k[0].shape[2]
 
 
 def _rotate_half(x):
@@ -202,15 +218,16 @@ class Attention(nn.Module):
             )
             out = ring(q, k, v, bias)
         elif (
-            cfg.use_flash_attention
+            cfg.use_pallas_decode
             and layer_cache is not None
             and not attn_dropout
             and supports_decode(q.shape, T_kv)
         ):
-            # Fused decode attention: scores stay in VMEM and the KV-chunk
-            # grid is clamped to the cache fill point via scalar-prefetched
-            # `index`, so HBM traffic scales with fill, not T_max
-            # (ops/decode_attention.py; measured ~3x decode speedup on v5e).
+            # Fused decode attention (ops/decode_attention.py): fill-clamped
+            # KV reads, scores in VMEM. Opt-in (config.use_pallas_decode):
+            # measured SLOWER than the XLA einsum inside the fused actor at
+            # this framework's cache lengths — see the config flag comment
+            # and PERF_NOTES.md r3 for the numbers.
             bias = jnp.where(
                 attention_mask.astype(bool), 0.0, _MASK_BIAS
             ).astype(jnp.float32)
@@ -350,7 +367,7 @@ class Transformer(nn.Module):
         V = cfg.padded_vocab_size
 
         if attention_mask is None:
-            kv_len = cache.k.shape[3] if cache is not None else T
+            kv_len = cache.max_len if cache is not None else T
             attention_mask = jnp.ones((B, kv_len), jnp.int32)
         if position_ids is None:
             start = cache.index if cache is not None else 0
@@ -411,7 +428,7 @@ class Transformer(nn.Module):
         new_cache = None
         if cache is not None:
             new_cache = KVCache(
-                k=jnp.stack(new_k), v=jnp.stack(new_v), index=cache.index + T
+                k=tuple(new_k), v=tuple(new_v), index=cache.index + T
             )
         return logits, x, new_cache
 

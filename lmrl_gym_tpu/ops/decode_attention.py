@@ -135,19 +135,25 @@ def _pick_bb(B: int) -> int:
 
 
 def supports_decode(
-    q_shape, kv_len: int, block_k: int = 64, backend: Optional[str] = None
+    q_shape,
+    kv_len: int,
+    block_k: int = 64,
+    backend: Optional[str] = None,
+    interpret: Optional[bool] = None,
 ) -> bool:
     """Kernel preconditions (callers fall back to XLA otherwise). Only
     single-token decode (q_len=1) benefits: multi-token cached forwards
     amortize the cache read over their tokens already."""
     if not _HAS_PLTPU:
         return False
+    if interpret is None:
+        interpret = _FORCE_INTERPRET
     if backend is None:
         try:
             backend = jax.default_backend()
         except Exception:  # pragma: no cover
             return False
-    if backend != "tpu" and not _FORCE_INTERPRET:
+    if backend != "tpu" and not interpret:
         return False
     B, H, Tq, Dh = q_shape
     return (
@@ -158,7 +164,6 @@ def supports_decode(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_k"))
 def decode_attention(
     q: jax.Array,  # [B, H, Tq, Dh]
     k: jax.Array,  # [B, H, S, Dh] full cache (zeros past the fill point)
@@ -168,9 +173,25 @@ def decode_attention(
     sm_scale: float = 1.0,
     block_k: int = 64,
 ) -> jax.Array:
+    # Trace-time dispatch happens OUT HERE, where it re-evaluates on every
+    # call: the module-global interpret flag and the backend are part of the
+    # jit cache key of the inner callee (static args), so flipping
+    # _FORCE_INTERPRET between calls with previously-seen shapes cannot
+    # reuse a stale executable.
+    return _decode_attention_dispatch(
+        q, k, v, index, bias, sm_scale, block_k, _FORCE_INTERPRET
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_k", "interpret")
+)
+def _decode_attention_dispatch(
+    q, k, v, index, bias, sm_scale, block_k, interpret
+) -> jax.Array:
     B, H, Tq, Dh = q.shape
     S = k.shape[2]
-    if not supports_decode(q.shape, S, block_k):
+    if not supports_decode(q.shape, S, block_k, interpret=interpret):
         return _xla_decode_attention(q, k, v, index, bias, sm_scale)
 
     if bias is None:
@@ -213,10 +234,10 @@ def decode_attention(
         out_shape=jax.ShapeDtypeStruct((B, H, Dh), v.dtype),
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if _HAS_PLTPU and not _FORCE_INTERPRET
+            if _HAS_PLTPU and not interpret
             else None
         ),
-        interpret=_FORCE_INTERPRET,
+        interpret=interpret,
     )(
         idx,
         bias.astype(jnp.float32).reshape(B, n_chunks, 1, block_k),

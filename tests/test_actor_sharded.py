@@ -31,10 +31,10 @@ def test_rollout_shards_over_dp_mesh():
     params = jax.device_put(params, replicated)
     carry0 = jax.tree.map(
         lambda x: jax.device_put(
-            x, NamedSharding(mesh, PS(None, "dp") if x.ndim >= 2 else PS())
+            x, NamedSharding(mesh, PS("dp") if x.ndim >= 2 else PS())
         ),
         carry0,
-    )  # KVCache [L, B, H, T, Dh]: batch axis (1) over dp
+    )  # KVCache per-layer [B, H, T, Dh] buffers: batch axis (0) over dp
 
     out = actor.rollout_wordle(
         env, step_fn, params, carry0, jax.random.PRNGKey(1), holder, 1.0, False

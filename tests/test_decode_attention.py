@@ -77,7 +77,7 @@ def test_model_decode_path_matches_einsum(monkeypatch):
         vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
         max_position_embeddings=128, pad_vocab_to_multiple=8,
         embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
-        use_flash_attention=True, dtype="float32",
+        use_flash_attention=True, use_pallas_decode=True, dtype="float32",
     )
     core = LMCore(config)
     params = init_params(config, jax.random.PRNGKey(0))

@@ -85,3 +85,35 @@ def test_resolve_checkpoint_dir_variants(tmp_path):
     assert eval_cli.resolve_checkpoint_dir(str(tmp_path / "run")).endswith("best")
     with pytest.raises(FileNotFoundError):
         eval_cli.resolve_checkpoint_dir(str(tmp_path))
+
+
+def test_infer_algo_from_module_layout(tmp_path):
+    """--algo defaults to layout inference so a value checkpoint cannot
+    silently evaluate as plain BC (ADVICE r2)."""
+    def mk(*modules):
+        d = tmp_path / "_".join(modules)
+        for m in modules:
+            (d / m).mkdir(parents=True)
+            (d / m / "params.msgpack").write_bytes(b"")
+        return str(d)
+
+    assert eval_cli.infer_algo(mk("base")) == "bc"
+    assert eval_cli.infer_algo(mk("base", "q1_head", "q2_head", "v_head")) == "ilql"
+    assert eval_cli.infer_algo(mk("base", "q1_head", "q2_head")) == "cql"
+    assert eval_cli.infer_algo(mk("base", "q_head")) == "mc"
+    assert eval_cli.infer_algo(mk("policy", "value_head")) == "ppo"
+
+
+def test_evaluate_no_cell_accuracy_flag(tmp_path):
+    save_dir = _train(tmp_path, "bc")
+    results = eval_cli.main(
+        [
+            "--task", "maze",
+            "--checkpoint", save_dir,  # no --algo: inferred as bc
+            "--n-rollouts", "2",
+            "--bsize", "2",
+            "--max-new-tokens", "12",
+            "--no-cell-accuracy",
+        ]
+    )
+    assert "optimal_move_accuracy" not in results
