@@ -229,6 +229,70 @@ def bench_actor() -> dict:
     }
 
 
+def bench_actor_markov() -> dict:
+    """Fused Markov actors (VERDICT r2 item 5): GPT-2-small-class policy
+    decoding full per-turn windows through the maze and chess-endgame
+    vector envs, cache reset per turn (loops/actor.rollout_markov)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmrl_gym_tpu.envs.chess.vector import ChessEndgameVectorEnv
+    from lmrl_gym_tpu.envs.maze.grids import DOUBLE_T_GOAL, double_t_maze
+    from lmrl_gym_tpu.envs.maze.vector import MazeTokenVecEnv, MazeVectorEnv
+    from lmrl_gym_tpu.loops import actor
+    from lmrl_gym_tpu.models.config import gpt2_small
+    from lmrl_gym_tpu.models.interface import LMCore
+    from lmrl_gym_tpu.models.transformer import init_params
+
+    B = int(os.environ.get("BENCH_BATCH", 512))
+    N = 8  # turns per rollout
+    REPS = int(os.environ.get("BENCH_REPS", 3))
+    n_chips = max(1, len(jax.devices()))
+
+    out = {}
+    envs = {
+        "maze": MazeTokenVecEnv(
+            MazeVectorEnv(
+                double_t_maze(),
+                valid_goals=np.asarray([DOUBLE_T_GOAL], np.int32),
+                max_steps=N,
+            )
+        ),
+        "chess": ChessEndgameVectorEnv(max_steps=N),
+    }
+    for name, env in envs.items():
+        total_len = env.OBS_LEN + env.ACT_LEN
+        config = gpt2_small().replace(
+            vocab_size=512, pad_vocab_to_multiple=128,
+            max_position_embeddings=max(128, total_len),
+            embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
+        )
+        core = LMCore(config)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            init_params(config, jax.random.PRNGKey(0)),
+        )
+        step_fn, carry0 = actor.make_lm_step_fn(core, B, total_len=total_len)
+        state0 = env.reset(jax.random.PRNGKey(1), B)
+        roll, _ = actor.rollout_markov(
+            env, N, step_fn, params, carry0, state0, jax.random.PRNGKey(2)
+        )
+        float(roll.turn_reward.sum())  # sync
+        t0 = time.perf_counter()
+        for i in range(REPS):
+            roll, _ = actor.rollout_markov(
+                env, N, step_fn, params, carry0, state0,
+                jax.random.PRNGKey(i + 3),
+            )
+            float(roll.turn_reward.sum())
+        dt = time.perf_counter() - t0
+        out[f"fused_{name}_actor_env_steps_per_s_per_chip"] = round(
+            B * N * REPS / dt / n_chips, 1
+        )
+    return out
+
+
 def bench_env() -> dict:
     import jax
 
@@ -279,6 +343,9 @@ def main():
     if mode == "actor":
         print(json.dumps(bench_actor()))
         return
+    if mode == "markov":
+        print(json.dumps(bench_actor_markov()))
+        return
     if mode == "env":
         print(json.dumps(bench_env()))
         return
@@ -291,7 +358,7 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET", 420))
     t_start = time.perf_counter()
     result = {}
-    heavy = [bench_actor, bench_ilql]
+    heavy = [bench_actor, bench_ilql, bench_actor_markov]
     for i, section in enumerate(heavy):
         elapsed = time.perf_counter() - t_start
         # reserve ~60s for bench_env plus a proportional share for the

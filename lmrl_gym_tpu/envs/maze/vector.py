@@ -140,3 +140,96 @@ class MazeVectorEnv:
         for (y, x), action in maze_solver(maze_np, goal).items():
             table[y, x] = ACTION_STRS.index(action)
         return jnp.asarray(table)
+
+
+# ---------------------------------------------------------------------------
+# Token-frame adapter: MazeVectorEnv as a Markov TokenVecEnv for the fused
+# actor (loops/actor.rollout_markov). The on-device protocol is a compact
+# fixed-width rendering — "g <yy> <xx> p <yy> <xx>\n" with zero-padded
+# 2-digit coordinates spelled digit-by-digit (the reference spells
+# coordinates digit-by-digit too, maze/env/env.py:15-81; the wall
+# sentences of the host renderer are static text and omitted here). The
+# action field holds one of grids.ACTION_STRS verbatim in a fixed
+# ACT_LEN=11 slot ("move right\n" is exactly 11 bytes; shorter actions
+# are '\n'-terminated early and the tail ignored by the parser).
+# ---------------------------------------------------------------------------
+
+_NL, _SP = 10, 32
+
+
+def _action_templates() -> np.ndarray:
+    from lmrl_gym_tpu.envs.maze.grids import ACTION_STRS
+
+    out = np.full((len(ACTION_STRS), MazeTokenVecEnv.ACT_LEN), _SP, np.int32)
+    for i, s in enumerate(ACTION_STRS):
+        b = s.encode()
+        out[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return out
+
+
+class MazeTokenVecEnv:
+    """Markov token-frame wrapper over MazeVectorEnv."""
+
+    OBS_LEN = 20  # "g Y Y X X p Y Y X X" spelled (10 chars, 9 seps) + '\n'
+    ACT_LEN = 11
+
+    def __init__(self, inner: MazeVectorEnv):
+        self.inner = inner
+        self.templates = jnp.asarray(_action_templates())  # [4, ACT_LEN]
+        # per-template compare length: through its '\n'
+        tl = np.asarray(_action_templates())
+        self.template_len = jnp.asarray(
+            [int(np.argmax(row == _NL)) + 1 for row in tl], jnp.int32
+        )
+
+    def reset(self, key: jax.Array, batch: int) -> MazeVecState:
+        return self.inner.reset(key, batch)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def obs_tokens(self, state: MazeVecState) -> jax.Array:
+        B = state.pos.shape[0]
+        d = lambda v, p: ord("0") + (v // p) % 10
+        cols = [
+            jnp.full((B,), ord("g"), jnp.int32),
+            d(state.goal[:, 0], 10), d(state.goal[:, 0], 1),
+            d(state.goal[:, 1], 10), d(state.goal[:, 1], 1),
+            jnp.full((B,), ord("p"), jnp.int32),
+            d(state.pos[:, 0], 10), d(state.pos[:, 0], 1),
+            d(state.pos[:, 1], 10), d(state.pos[:, 1], 1),
+        ]
+        out = jnp.full((B, self.OBS_LEN), _SP, jnp.int32)
+        for i, c in enumerate(cols):
+            out = out.at[:, 2 * i].set(c)
+        return out.at[:, self.OBS_LEN - 1].set(_NL)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def parse_action(self, act_tokens: jax.Array) -> jax.Array:
+        """[B, ACT_LEN] frame -> [B] action id (4 = INVALID)."""
+        idx = jnp.arange(self.ACT_LEN)[None, None, :]
+        within = idx < self.template_len[None, :, None]
+        eq = act_tokens[:, None, :] == self.templates[None, :, :]
+        match = jnp.all(eq | ~within, axis=-1)  # [B, 4]
+        return jnp.where(
+            jnp.any(match, axis=1),
+            jnp.argmax(match, axis=1),
+            INVALID_ACTION,
+        ).astype(jnp.int32)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def step(
+        self, state: MazeVecState, act_tokens: jax.Array, key: jax.Array
+    ) -> MazeVecState:
+        del key  # maze transitions are deterministic
+        return self.inner.step(state, self.parse_action(act_tokens))
+
+    @partial(jax.jit, static_argnums=(0,))
+    def render_action(self, action: jax.Array) -> jax.Array:
+        """[B] action id -> [B, ACT_LEN] frame (scripted/optimal policies)."""
+        safe = jnp.clip(action, 0, self.templates.shape[0] - 1)
+        return self.templates[safe]
+
+    @partial(jax.jit, static_argnums=(0,))
+    def optimal_action(self, state: MazeVecState, table: jax.Array) -> jax.Array:
+        """BFS-optimal action ids for the single-goal table (see
+        MazeVectorEnv.optimal_action_table)."""
+        return table[state.pos[:, 0], state.pos[:, 1]]

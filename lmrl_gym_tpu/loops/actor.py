@@ -103,8 +103,12 @@ class WordleRollout(NamedTuple):
 StepFn = Callable[[Any, jax.Array, Any], Tuple[jax.Array, Any]]
 
 
-def make_lm_step_fn(core: LMCore, batch: int) -> Tuple[StepFn, Any]:
-    """Plain-LM policy trunk for the actor (BC/filtered-BC checkpoints)."""
+def make_lm_step_fn(
+    core: LMCore, batch: int, total_len: int = EPISODE_LEN
+) -> Tuple[StepFn, Any]:
+    """Plain-LM policy trunk for the actor (BC/filtered-BC checkpoints).
+    total_len sizes the KV cache: the full episode for conversation envs
+    (Wordle), one OBS+ACT turn for Markov envs (rollout_markov)."""
     config = core.config
 
     def step_fn(params, tokens, cache):
@@ -118,7 +122,7 @@ def make_lm_step_fn(core: LMCore, batch: int) -> Tuple[StepFn, Any]:
         )
         return mask_pad_logits(logits.astype(jnp.float32), config.vocab_size), cache
 
-    return step_fn, KVCache.init(config, batch, EPISODE_LEN)
+    return step_fn, KVCache.init(config, batch, total_len)
 
 
 def make_value_guided_step_fn(
@@ -128,6 +132,7 @@ def make_value_guided_step_fn(
     two_trunks: bool,
     twin_q: bool,
     beta: float = 8.0,
+    total_len: int = EPISODE_LEN,
 ) -> Tuple[StepFn, Any]:
     """β-perturbed decoding trunk: logits = π_β + β·min(q1,q2) (the
     reference's GPT2ValueRLGeneration, value_rl_base/gpt2/generation.py:36-121)
@@ -166,9 +171,9 @@ def make_value_guided_step_fn(
             (base_cache, pi_cache),
         )
 
-    base_cache = KVCache.init(config, batch, EPISODE_LEN)
+    base_cache = KVCache.init(config, batch, total_len)
     pi_cache = (
-        KVCache.init(config, batch, EPISODE_LEN) if two_trunks else base_cache
+        KVCache.init(config, batch, total_len) if two_trunks else base_cache
     )
     return step_fn, (base_cache, pi_cache)
 
@@ -266,4 +271,81 @@ def rollout_wordle(
         turn_live=turn_live,
         win=win,
         n_turns=turn_live.sum(axis=-1).astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic fused actor for Markov turn-based token envs (chess endgames,
+# maze): each turn is an independent (obs, action) window — the model sees
+# only the current observation (the reference's FenChessHistoryEnv shape,
+# chess/env/env.py:218-244), so the KV cache RESETS every turn and the
+# cache is sized to one OBS_LEN + ACT_LEN window, not the whole episode.
+# ---------------------------------------------------------------------------
+
+
+class MarkovRollout(NamedTuple):
+    obs_tokens: jax.Array  # [B, N_TURNS, OBS_LEN] int32
+    act_tokens: jax.Array  # [B, N_TURNS, ACT_LEN] int32
+    turn_reward: jax.Array  # [B, N_TURNS] float32 (0 after done)
+    turn_live: jax.Array  # [B, N_TURNS] bool
+    final_obs: jax.Array  # [B, OBS_LEN] observation after the last turn
+
+    def window_tokens(self) -> jax.Array:
+        """[B, N, OBS+ACT]: per-turn training windows."""
+        return jnp.concatenate([self.obs_tokens, self.act_tokens], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 7, 8))
+def rollout_markov(
+    env,  # TokenVecEnv: obs_tokens(state), step(state, act_tokens, key)
+    n_turns: int,
+    step_fn: StepFn,
+    params: Any,
+    init_carry: Any,  # fresh (zeroed) cache carry, reused every turn
+    state0: Any,  # env state from env.reset(...)
+    key: jax.Array,
+    temperature: float = 1.0,
+    greedy: bool = False,
+):
+    """One compiled program: n_turns of (obs forward -> ACT_LEN-token
+    decode scan -> env.step), cache reset per turn. Returns
+    (MarkovRollout, final env state)."""
+    act_len = env.ACT_LEN
+
+    def turn(state, turn_key):
+        kd, ke = jax.random.split(turn_key)
+        live = ~state.done
+        obs = env.obs_tokens(state)
+        logits, carry = step_fn(params, obs, init_carry)
+        last = logits[:, -1, :]
+
+        def dstep(sc, k):
+            carry, logits = sc
+            if greedy:
+                tok = jnp.argmax(logits, axis=-1)
+            else:
+                tok = jax.random.categorical(
+                    k, logits / jnp.maximum(temperature, 1e-6), axis=-1
+                )
+            new_logits, carry = step_fn(params, tok[:, None], carry)
+            return (carry, new_logits[:, -1, :]), tok
+
+        keys = jax.random.split(kd, act_len)
+        (_, _), toks = jax.lax.scan(dstep, (carry, last), keys)
+        act = toks.T.astype(jnp.int32)  # [B, ACT_LEN]
+
+        new_state = env.step(state, act, ke)
+        return new_state, (obs, act, new_state.reward * live, live)
+
+    keys = jax.random.split(key, n_turns)
+    final_state, (obs_t, act_t, rew, live) = jax.lax.scan(turn, state0, keys)
+    return (
+        MarkovRollout(
+            obs_tokens=obs_t.transpose(1, 0, 2),
+            act_tokens=act_t.transpose(1, 0, 2),
+            turn_reward=rew.T,
+            turn_live=live.T,
+            final_obs=env.obs_tokens(final_state),
+        ),
+        final_state,
     )

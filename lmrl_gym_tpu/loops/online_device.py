@@ -131,3 +131,114 @@ def online_ilql_wordle(
         }
         history.append(metrics)
     return state, history
+
+
+# ---------------------------------------------------------------------------
+# Generic Markov-env variant (chess endgames, maze): per-turn (obs, act)
+# windows with chain bootstrapping — next_token_ids is the NEXT turn's
+# observation frame, exactly the reference's chess ILQL chain convention
+# (FEN windows linked by next-state tokens, algorithms/ilql/data.py:10-79).
+# ---------------------------------------------------------------------------
+
+
+def markov_rollout_to_ilql_batch(out: "actor_mod.MarkovRollout") -> ILQLBatch:
+    """[B, N]-turn rollout → [B*N] one-window-per-turn ILQLBatch."""
+    B, N, obs_len = out.obs_tokens.shape
+    act_len = out.act_tokens.shape[-1]
+    W = obs_len + act_len
+    windows = out.window_tokens().reshape(B * N, W)
+
+    live = out.turn_live  # [B, N]
+    sta = jnp.zeros((B, N, W - 1), bool)
+    # token t+1 is an action ⇔ t ∈ [obs_len-1, W-2]; masked to live turns
+    sta = sta.at[:, :, obs_len - 1 :].set(live[:, :, None])
+    rewards = jnp.zeros((B, N, W - 1), jnp.float32)
+    rewards = rewards.at[:, :, W - 2].set(out.turn_reward * live)
+
+    # bootstrap chain: next turn's obs (final_obs after the last turn);
+    # done when the next turn was never played
+    next_obs = jnp.concatenate(
+        [out.obs_tokens[:, 1:], out.final_obs[:, None, :]], axis=1
+    )  # [B, N, obs_len]
+    next_live = jnp.concatenate(
+        [live[:, 1:], jnp.zeros((B, 1), bool)], axis=1
+    )
+    dones = ~next_live  # [B, N]
+
+    return ILQLBatch(
+        input_ids=windows,
+        should_take_action=sta.reshape(B * N, W - 1),
+        rewards=rewards.reshape(B * N, W - 1),
+        dones=dones.reshape(B * N),
+        next_token_ids=next_obs.reshape(B * N, obs_len),
+        next_dones=dones.reshape(B * N),
+    )
+
+
+def online_ilql_markov(
+    core: LMCore,
+    q_head,
+    v_head,
+    state: ILQLTrainState,
+    env,  # TokenVecEnv (ChessEndgameVectorEnv, MazeTokenVecEnv, ...)
+    n_turns: int,
+    ilql_config: ILQLConfig,
+    config: OnlineDeviceConfig,
+    key: jax.Array,
+    mesh: Optional[Any] = None,
+) -> Tuple[ILQLTrainState, list]:
+    """Round-based on-device online ILQL over any Markov token env."""
+    B = config.rollout_batch
+    total_len = env.OBS_LEN + env.ACT_LEN
+    step_fn, carry0 = actor_mod.make_value_guided_step_fn(
+        core, q_head, batch=B, two_trunks=False, twin_q=True,
+        beta=ilql_config.beta, total_len=total_len,
+    )
+    train_step = make_ilql_train_step(
+        core, q_head, v_head, ilql_config, config.pad_token_id, mesh=mesh
+    )
+
+    history: list = []
+    for rnd in range(config.n_rounds):
+        key, k_reset, k_roll, k_train = jax.random.split(key, 4)
+        policy_params = {
+            "base": state.base.params,
+            "q1": state.q1_head.params,
+            "q2": state.q2_head.params,
+        }
+        state0 = env.reset(k_reset, B)
+        out, _ = actor_mod.rollout_markov(
+            env, n_turns, step_fn, policy_params, carry0, state0, k_roll,
+            config.temperature, False,
+        )
+        batch = markov_rollout_to_ilql_batch(out)
+        n_windows = batch.input_ids.shape[0]
+
+        losses = []
+        n = max(1, n_windows // config.train_bsize)
+        for epoch in range(config.epochs_per_round):
+            k_train, k_perm = jax.random.split(k_train)
+            perm = jax.random.permutation(k_perm, n_windows)
+            for i in range(n):
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, i * config.train_bsize, config.train_bsize
+                )
+                sub = jax.tree.map(lambda x: x[idx], batch)
+                k_train, k_step = jax.random.split(k_train)
+                state, loss, _ = train_step(state, sub, k_step)
+                losses.append(loss)
+
+        live = out.turn_live
+        metrics: Dict[str, float] = {
+            "round": rnd,
+            "mean_episode_reward": float(
+                (out.turn_reward * live).sum(axis=1).mean()
+            ),
+            "mean_turns": float(live.sum(axis=1).mean()),
+            "illegal_rate": float(
+                ((out.turn_reward < 0) & live).sum() / jnp.maximum(live.sum(), 1)
+            ),
+            "loss": float(jnp.stack(losses).mean()),
+        }
+        history.append(metrics)
+    return state, history
