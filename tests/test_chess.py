@@ -342,3 +342,47 @@ class TestOpponentCalibration:
             else:
                 score += 0.5
         assert score >= 0.75 * n, f"full strength scored only {score}/{n} vs 1200"
+
+
+def test_chess_game_goldens():
+    """Full-game behavioral goldens (VERDICT r2 item 6): fixed-seed
+    random-opponent games replay move-for-move, and every step obeys the
+    reference step semantics (illegal SAN → −1 with board unchanged and
+    episode continuing; checkmate → +1 done; draw → 0 done)."""
+    import json
+    import os
+    import random
+
+    from lmrl_gym_tpu.envs.chess.engine import Board
+    from lmrl_gym_tpu.envs.chess.env import ChessGame
+
+    path = os.path.join(os.path.dirname(__file__), "goldens", "chess_game.json")
+    with open(path) as f:
+        games = json.load(f)
+    assert len(games) >= 7
+    saw_mate = saw_illegal = saw_done = False
+    for g in games:
+        game = ChessGame(
+            from_position=None if g["start"].startswith("rnbqkbnr") else g["start"],
+            random_opponent=True,
+            rng=random.Random(g["seed"]),
+        )
+        fen, _ = game.reset()
+        assert fen == g["start"]
+        for s in g["steps"]:
+            prev_fen = game.board.fen
+            legal_before = set(Board(prev_fen).legal_moves_san())
+            new_fen, reward, done, info = game.step(s["action"])
+            assert new_fen == s["fen"], (s["action"], new_fen, s["fen"])
+            assert reward == s["reward"]
+            assert done == s["done"]
+            assert info.get("opponent move") == s["opponent"]
+            if s["action"] not in legal_before:
+                saw_illegal = True
+                assert reward == -1.0 and not done and new_fen == prev_fen
+            if reward == 1.0:
+                saw_mate = True
+                assert done and Board(new_fen).is_checkmate()
+            if done:
+                saw_done = True
+    assert saw_mate and saw_illegal and saw_done
