@@ -102,9 +102,18 @@ def build_maze_env(max_steps: int = 100, last_k: int = 1) -> TextEnv:
     )
 
 
-def generate_maze_chains(n: int, seed: int, p_optimal: float = 0.7) -> List[TextTrajectoryChain]:
+def generate_maze_chains(
+    n: int, seed: int, p_optimal: float = 0.7, wrong_bias: bool = False
+) -> List[TextTrajectoryChain]:
     """Mixture of BFS-optimal and random moves; Markov (obs, action)
-    windows chained for cross-window credit assignment."""
+    windows chained for cross-window credit assignment.
+
+    wrong_bias=True makes the non-optimal mass DETERMINISTIC (the first
+    non-optimal action per cell) instead of uniform. With p_optimal < 0.5
+    the behavior policy's mode is then systematically wrong, so BC
+    imitation fails while the returns still identify optimal paths — the
+    adversarial regime where only value learning recovers the optimal
+    policy (used by the reference-scale ILQL gate)."""
     from lmrl_gym_tpu.envs.maze.env import MazeEnv, standard_reward
     from lmrl_gym_tpu.envs.maze.grids import ACTION_STRS, double_t_maze, maze_solver
 
@@ -120,6 +129,9 @@ def generate_maze_chains(n: int, seed: int, p_optimal: float = 0.7) -> List[Text
         while not done and len(steps) < 40:
             if rng.random() < p_optimal and tuple(env.position) in solver:
                 action = solver[tuple(env.position)]
+            elif wrong_bias and tuple(env.position) in solver:
+                opt = solver[tuple(env.position)]
+                action = next(a for a in ACTION_STRS if a != opt)
             else:
                 action = rng.choice(ACTION_STRS)
             history = obs + (Text(action, True),)

@@ -349,3 +349,106 @@ def rollout_markov(
         ),
         final_state,
     )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 6, 7))
+def rollout_wordle_segmented(
+    env: WordleVectorEnv,
+    step_fn: StepFn,
+    params: Any,
+    init_carry: Any,
+    key: jax.Array,
+    batch_holder: jax.Array,
+    temperature: float = 1.0,
+    greedy: bool = False,
+) -> WordleRollout:
+    """rollout_wordle with TURN-SIZED caches: decode attention reads the
+    whole static cache every step, so turn t runs against a cache of
+    exactly len(HEADER) + (t+1)*TURN_LEN slots (28, 48, ... 128) instead
+    of a full 128-slot cache from turn 0 — sum(L_t)/(6*128) = 0.61x the
+    cache read traffic, which is what bounds the actor post r3 cache fix
+    (PERF_NOTES.md). The 6 turns are Python-unrolled (one executable per
+    cache length inside one jit), so this variant compiles ~6x more
+    program than the scan version; prefer it for long-running serving,
+    and rollout_wordle when compile latency matters."""
+    B = batch_holder.shape[0]
+    header = jnp.broadcast_to(jnp.asarray(HEADER, jnp.int32), (B, len(HEADER)))
+    fb_bytes = jnp.asarray(_FEEDBACK_BYTES, jnp.int32)
+
+    def cache_view(c, L, grow):
+        def f(x):
+            if getattr(x, "ndim", 0) == 4:  # [B, H, T, Dh] layer buffer
+                if grow:
+                    return jnp.pad(x, ((0, 0), (0, 0), (0, L - x.shape[2]), (0, 0)))
+                return x[:, :, :L, :]
+            return x
+        return jax.tree.map(f, c)
+
+    carry = cache_view(init_carry, len(HEADER) + TURN_LEN, grow=False)
+    logits, carry = step_fn(params, header, carry)
+    last_logits = logits[:, -1, :]
+
+    tokens = jnp.zeros((B, EPISODE_LEN), jnp.int32).at[:, : len(HEADER)].set(header)
+    state = initial_state(B)
+    rewards, lives = [], []
+
+    keys = jax.random.split(key, N_TRIES)
+    for t in range(N_TRIES):
+        kd, ke = jax.random.split(keys[t])
+        live = ~state.done
+
+        def dstep(sc, k):
+            carry, logits = sc
+            if greedy:
+                tok = jnp.argmax(logits, axis=-1)
+            else:
+                tok = jax.random.categorical(
+                    k, logits / jnp.maximum(temperature, 1e-6), axis=-1
+                )
+            new_logits, carry = step_fn(params, tok[:, None], carry)
+            return (carry, new_logits[:, -1, :]), tok
+
+        dkeys = jax.random.split(kd, 2 * N_CHARS)
+        (carry, last_logits), toks = jax.lax.scan(
+            dstep, (carry, last_logits), dkeys
+        )
+        act = toks.T.astype(jnp.int32)
+
+        letters = act[:, 0 : 2 * N_CHARS : 2]
+        is_letter = jnp.all((letters >= _A) & (letters < _A + 26), axis=-1)
+        seps_ok = jnp.all(act[:, 1 : 2 * N_CHARS - 1 : 2] == _SP, axis=-1) & (
+            act[:, 2 * N_CHARS - 1] == _NL
+        )
+        valid = is_letter & seps_ok
+        guess = jnp.clip(letters - _A, 0, 25).astype(jnp.int8)
+        state, feedback = env.step(state, guess, valid, ke)
+
+        fb = fb_bytes[feedback.astype(jnp.int32)]
+        obs = jnp.full((B, 2 * N_CHARS), _SP, jnp.int32)
+        obs = obs.at[:, 0 : 2 * N_CHARS : 2].set(fb)
+        obs = obs.at[:, 2 * N_CHARS - 1].set(_NL)
+
+        off = len(HEADER) + t * TURN_LEN
+        tokens = jax.lax.dynamic_update_slice(tokens, act, (0, off))
+        tokens = jax.lax.dynamic_update_slice(tokens, obs, (0, off + 2 * N_CHARS))
+
+        logits, carry = step_fn(params, obs, carry)
+        last_logits = logits[:, -1, :]
+        rewards.append(state.reward * live)
+        lives.append(live)
+
+        if t + 1 < N_TRIES:
+            carry = cache_view(
+                carry, len(HEADER) + (t + 2) * TURN_LEN, grow=True
+            )
+
+    turn_reward = jnp.stack(rewards, axis=1)
+    turn_live = jnp.stack(lives, axis=1)
+    win = jnp.any((turn_reward == 0.0) & turn_live, axis=-1)
+    return WordleRollout(
+        tokens=tokens,
+        turn_reward=turn_reward,
+        turn_live=turn_live,
+        win=win,
+        n_turns=turn_live.sum(axis=-1).astype(jnp.int32),
+    )

@@ -1,0 +1,239 @@
+"""Reference-scale ILQL learning gate on the double-T maze (VERDICT r2
+item 2). The reference's headline maze evaluator is per-cell optimal-move
+accuracy vs the BFS table (maze/env/maze_utils.py:63-89); BASELINE asks
+for "a Maze ILQL run reaching reference eval return". This harness runs
+the full pipeline at enough scale to clear a high-water threshold and
+prints the learning curve:
+
+  1. behavior data with an ADVERSARIAL mode: p_optimal of the mass on the
+     BFS-optimal action, the rest on a fixed wrong action — so BC greedy
+     imitation is systematically wrong and only value learning can
+     recover optimality (RL > imitation, the point of the benchmark);
+  2. BC pretrain (the reference pipeline's first stage);
+  3. offline ILQL; every eval_every epochs, per-cell accuracy of the
+     β-guided decode policy (π_β + β·min(q1,q2), shared trunk).
+
+Run on the TPU chip:  python scripts/maze_ilql_gate.py
+The recorded curve lives in PERF_NOTES.md; tests/test_learning_gate.py
+has a slow-marked assertion version.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-chains", type=int, default=400)
+    p.add_argument("--p-optimal", type=float, default=0.35)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--bc-epochs", type=int, default=4)
+    p.add_argument("--ilql-epochs", type=int, default=12)
+    p.add_argument("--eval-every", type=int, default=2)
+    p.add_argument("--bsize", type=int, default=32)
+    p.add_argument("--beta", type=float, default=8.0)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=5)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    import optax
+    from flax.training.train_state import TrainState
+
+    from lmrl_gym_tpu.algos import data as algo_data
+    from lmrl_gym_tpu.algos.bc import BCBatch, BCConfig, BCTrainState, make_bc_train_step
+    from lmrl_gym_tpu.algos.ilql import (
+        ILQLBatch, ILQLConfig, init_ilql_state, make_ilql_train_step,
+    )
+    from lmrl_gym_tpu.algos.value_policy import ValueGuidedServer, ValueRLParams
+    from lmrl_gym_tpu.cli.tasks import generate_maze_chains
+    from lmrl_gym_tpu.core.blocking import BlockingStrategy, Padding, Truncation
+    from lmrl_gym_tpu.core.optimizer import OptimizerConfig, make_optimizer
+    from lmrl_gym_tpu.envs.maze.eval import per_cell_optimal_move_accuracy
+    from lmrl_gym_tpu.envs.maze.grids import double_t_maze
+    from lmrl_gym_tpu.models.config import TransformerConfig
+    from lmrl_gym_tpu.models.generation import SamplingConfig
+    from lmrl_gym_tpu.models.heads import MLPHead, MLPHeadConfig, init_head_params
+    from lmrl_gym_tpu.models.interface import LMCore
+    from lmrl_gym_tpu.models.transformer import init_params
+    from lmrl_gym_tpu.algos.value_policy import LMServer
+    from lmrl_gym_tpu.text.frames import TokenTrajectoryChain
+    from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
+
+    MAX_LEN, GOAL = 160, (8, 6)
+    tokenizer = ByteTokenizer()
+    config = TransformerConfig(
+        vocab_size=tokenizer.vocab_size, hidden_size=args.hidden,
+        num_layers=args.layers, num_heads=args.heads,
+        max_position_embeddings=256, pad_vocab_to_multiple=64,
+        embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
+    )
+    core = LMCore(config)
+    maze = double_t_maze()
+    strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, MAX_LEN)
+    sampling = SamplingConfig(
+        max_new_tokens=12, greedy=True, eos_token_id=10,
+        pad_token_id=tokenizer.pad_token_id,
+    )
+
+    print(f"data: {args.n_chains} chains, p_optimal={args.p_optimal} wrong-biased")
+    chains = generate_maze_chains(
+        args.n_chains, seed=args.seed, p_optimal=args.p_optimal, wrong_bias=True
+    )
+    token_chains = [
+        TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
+    ]
+
+    # ---- stage 1: BC pretrain
+    windows = []
+    for c in token_chains:
+        windows.extend(c.to_list())
+    bc_examples = [
+        algo_data.BCExample.from_segments(tt.tokens, tt.is_action) for tt in windows
+    ]
+    bc_dataset = algo_data.ArrayDataset(
+        algo_data.block_bc_examples(bc_examples, strategy, tokenizer.pad_token_id)
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    bc_state = BCTrainState(
+        model=TrainState.create(
+            apply_fn=None, params=params,
+            tx=make_optimizer(OptimizerConfig(lr=args.lr), params),
+        )
+    )
+    bc_step = make_bc_train_step(core, BCConfig(), tokenizer.pad_token_id, None)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for _ in range(args.bc_epochs):
+        for b in bc_dataset.batches(args.bsize, rng=rng, drop_last=False):
+            key, sk = jax.random.split(key)
+            bc_state, bc_loss, _ = bc_step(
+                bc_state,
+                BCBatch(jnp.asarray(b["input_ids"]), jnp.asarray(b["training_mask"])),
+                sk,
+            )
+    bc_params = jax.tree.map(jnp.array, bc_state.model.params)
+
+    server = LMServer(core, tokenizer)
+
+    def bc_act(histories):
+        from lmrl_gym_tpu.text.frames import Text
+        prompts = ["".join(t.text for t in h) for h in histories]
+        outs = server.generate_from_strs(
+            bc_params, prompts, MAX_LEN, sampling, jax.random.PRNGKey(0)
+        )
+        return [h + (Text(o, True),) for h, o in zip(histories, outs)]
+
+    bc_acc, _ = per_cell_optimal_move_accuracy(bc_act, maze, GOAL)
+    print(f"BC greedy per-cell accuracy: {bc_acc:.3f}  "
+          f"(bc loss {float(bc_loss):.3f}, {time.time()-t0:.0f}s)")
+
+    # ---- stage 2: offline ILQL from the BC trunk
+    examples = []
+    for c in token_chains:
+        curr = c
+        while curr is not None:
+            examples.append(algo_data.ILQLExample.from_chain(curr))
+            curr = curr.next
+    dataset = algo_data.ArrayDataset(
+        algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
+    )
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q_cfg = MLPHeadConfig(
+        input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
+        output_dim=config.padded_vocab_size, layer2_initializer_range=0.0,
+    )
+    v_cfg = MLPHeadConfig(
+        input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
+        output_dim=1, layer2_initializer_range=0.0,
+    )
+    q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
+    ilql_config = ILQLConfig(use_separate_target_base=True)
+    state = init_ilql_state(
+        jax.tree.map(jnp.array, bc_params),
+        init_head_params(q_head, config.hidden_size, ks[0]),
+        init_head_params(q_head, config.hidden_size, ks[1]),
+        init_head_params(v_head, config.hidden_size, ks[2]),
+        optax.adamw(args.lr * 0.3), optax.adamw(args.lr),
+        ilql_config,
+    )
+    ilql_step = make_ilql_train_step(
+        core, q_head, v_head, ilql_config, tokenizer.pad_token_id
+    )
+    guided = ValueGuidedServer(
+        core, q_head, v_head, tokenizer, beta=args.beta, share_trunk=False
+    )
+
+    def guided_act_fn(state):
+        bundle = ValueRLParams(
+            pi_beta=bc_params,
+            base=state.base.params,
+            q1_head=state.q1_head.params,
+            q2_head=state.q2_head.params,
+            v_head=state.v_head.params,
+        )
+
+        def act(histories):
+            from lmrl_gym_tpu.text.frames import Text
+            prompts = ["".join(t.text for t in h) for h in histories]
+            outs = guided.generate_from_strs(
+                bundle, prompts, MAX_LEN, sampling, jax.random.PRNGKey(0)
+            )
+            return [h + (Text(o, True),) for h, o in zip(histories, outs)]
+
+        return act
+
+    curve = [dict(epoch=0, acc=bc_acc, kind="bc")]
+    for epoch in range(1, args.ilql_epochs + 1):
+        t0 = time.time()
+        for b in dataset.batches(args.bsize, rng=rng, drop_last=False):
+            key, sk = jax.random.split(key)
+            state, loss, _ = ilql_step(
+                state,
+                ILQLBatch(
+                    input_ids=jnp.asarray(b["input_ids"]),
+                    should_take_action=jnp.asarray(b["should_take_action"]),
+                    rewards=jnp.asarray(b["rewards"]),
+                    dones=jnp.asarray(b["dones"]),
+                    next_token_ids=jnp.asarray(b["next_token_ids"]),
+                    next_dones=jnp.asarray(b["next_dones"]),
+                ),
+                sk,
+            )
+        if epoch % args.eval_every == 0 or epoch == args.ilql_epochs:
+            acc, _ = per_cell_optimal_move_accuracy(guided_act_fn(state), maze, GOAL)
+            curve.append(dict(epoch=epoch, acc=acc, kind="ilql_guided"))
+            print(f"epoch {epoch:3d}: loss {float(loss):8.3f} "
+                  f"guided acc {acc:.3f}  ({time.time()-t0:.0f}s)")
+
+    result = dict(bc_acc=bc_acc, curve=curve)
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(dict(args=vars(args), **result), f, indent=1)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -124,3 +124,34 @@ def test_lm_actor_end_to_end():
     assert token_r.sum() == tr.sum()
     mask = np.asarray(out.token_action_mask())
     assert mask.sum() == live.sum() * 10
+
+
+def test_segmented_rollout_matches_scan_rollout():
+    """rollout_wordle_segmented (turn-sized caches) must reproduce
+    rollout_wordle exactly: same keys, same env stepping, only the cache
+    length per turn differs — masked slots contribute exact zeros."""
+    import numpy as np
+
+    from lmrl_gym_tpu.envs.wordle.vector import WordleVectorEnv, WordleVocab
+    from lmrl_gym_tpu.models.config import tiny_test_config
+    from lmrl_gym_tpu.models.interface import LMCore
+    from lmrl_gym_tpu.models.transformer import init_params
+
+    env = WordleVectorEnv(WordleVocab.from_file())
+    config = tiny_test_config(max_position_embeddings=actor.EPISODE_LEN)
+    core = LMCore(config)
+    params = init_params(config, jax.random.PRNGKey(0))
+    B = 4
+    step_fn, carry0 = actor.make_lm_step_fn(core, B)
+    holder = jnp.zeros((B,))
+    a = actor.rollout_wordle(
+        env, step_fn, params, carry0, jax.random.PRNGKey(5), holder, 1.0, False
+    )
+    b = actor.rollout_wordle_segmented(
+        env, step_fn, params, carry0, jax.random.PRNGKey(5), holder, 1.0, False
+    )
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_allclose(
+        np.asarray(a.turn_reward), np.asarray(b.turn_reward)
+    )
+    np.testing.assert_array_equal(np.asarray(a.win), np.asarray(b.win))
