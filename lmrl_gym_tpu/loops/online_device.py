@@ -186,13 +186,20 @@ def online_ilql_markov(
     config: OnlineDeviceConfig,
     key: jax.Array,
     mesh: Optional[Any] = None,
+    pi_beta_params: Optional[Any] = None,
 ) -> Tuple[ILQLTrainState, list]:
-    """Round-based on-device online ILQL over any Markov token env."""
+    """Round-based on-device online ILQL over any Markov token env.
+
+    pi_beta_params: optional FROZEN behavior prior. When given, decoding
+    is two-trunk π_β + β·min(q1,q2) with π_β fixed (the reference's
+    value_rl_base structure, generation.py:36-121) — the stable choice
+    for online loops, since a shared trunk lets the ILQL objective drift
+    the behavior prior off the action protocol."""
     B = config.rollout_batch
     total_len = env.OBS_LEN + env.ACT_LEN
     step_fn, carry0 = actor_mod.make_value_guided_step_fn(
-        core, q_head, batch=B, two_trunks=False, twin_q=True,
-        beta=ilql_config.beta, total_len=total_len,
+        core, q_head, batch=B, two_trunks=pi_beta_params is not None,
+        twin_q=True, beta=ilql_config.beta, total_len=total_len,
     )
     train_step = make_ilql_train_step(
         core, q_head, v_head, ilql_config, config.pad_token_id, mesh=mesh
@@ -206,6 +213,8 @@ def online_ilql_markov(
             "q1": state.q1_head.params,
             "q2": state.q2_head.params,
         }
+        if pi_beta_params is not None:
+            policy_params["pi_beta"] = pi_beta_params
         state0 = env.reset(k_reset, B)
         out, _ = actor_mod.rollout_markov(
             env, n_turns, step_fn, policy_params, carry0, state0, k_roll,

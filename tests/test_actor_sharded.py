@@ -53,3 +53,52 @@ def test_rollout_shards_over_dp_mesh():
     np.testing.assert_allclose(
         np.asarray(out.turn_reward), np.asarray(ref.turn_reward)
     )
+
+
+def test_markov_rollout_shards_over_dp_mesh():
+    """The generic Markov actor (chess endgames) under a dp mesh: envs
+    shard over 'dp', results stay batch-sharded, semantics match the
+    unsharded run exactly."""
+    from lmrl_gym_tpu.envs.chess.vector import ChessEndgameVectorEnv
+
+    mesh = load_mesh((-1, 1, 1), ("dp", "fsdp", "mp"))
+    env = ChessEndgameVectorEnv(max_steps=3)
+    config = tiny_test_config(
+        max_position_embeddings=env.OBS_LEN + env.ACT_LEN
+    )
+    core = LMCore(config)
+    params = init_params(config, jax.random.PRNGKey(0))
+    B, N = 16, 3
+    step_fn, carry0 = actor.make_lm_step_fn(
+        core, B, total_len=env.OBS_LEN + env.ACT_LEN
+    )
+    state0 = env.reset(jax.random.PRNGKey(1), B)
+
+    batch_sharding = NamedSharding(mesh, PS("dp"))
+    replicated = NamedSharding(mesh, PS())
+    sh_params = jax.device_put(params, replicated)
+    sh_carry = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, PS("dp") if x.ndim >= 2 else PS())
+        ),
+        carry0,
+    )
+    sh_state = jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding), state0
+    )
+    out, final = actor.rollout_markov(
+        env, N, step_fn, sh_params, sh_carry, sh_state, jax.random.PRNGKey(2)
+    )
+    assert out.obs_tokens.shape == (B, N, env.OBS_LEN)
+    assert len(out.act_tokens.sharding.device_set) == len(mesh.devices.flat)
+
+    ref_out, ref_final = actor.rollout_markov(
+        env, N, step_fn, params, jax.device_get(carry0), state0,
+        jax.random.PRNGKey(2),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.act_tokens), np.asarray(ref_out.act_tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.turn_reward), np.asarray(ref_out.turn_reward)
+    )
