@@ -129,10 +129,17 @@ def infer_algo(ckpt_dir: str) -> str:
 
 
 def resolve_checkpoint_dir(path: str) -> str:
-    if os.path.isdir(os.path.join(path, "base")):
+    # PPO checkpoints name their trunk module "policy" (loops/checkpoints
+    # layout); every other algorithm uses "base"
+    def has_trunk(d):
+        return os.path.isdir(os.path.join(d, "base")) or os.path.isdir(
+            os.path.join(d, "policy")
+        )
+
+    if has_trunk(path):
         return path
     for tag in ("best", "last"):
-        if os.path.isdir(os.path.join(path, tag, "base")):
+        if has_trunk(os.path.join(path, tag)):
             return os.path.join(path, tag)
     epochs = sorted(
         (d for d in os.listdir(path) if d.startswith(("epoch_", "step_", "round_"))),
@@ -144,10 +151,12 @@ def resolve_checkpoint_dir(path: str) -> str:
 
 
 def load_config(ckpt_dir: str, fallback_size: str) -> TransformerConfig:
-    try:
-        return TransformerConfig.from_dict(load_module_config(ckpt_dir, "base"))
-    except FileNotFoundError:
-        return MODEL_SIZES[fallback_size]()
+    for module in ("base", "policy"):
+        try:
+            return TransformerConfig.from_dict(load_module_config(ckpt_dir, module))
+        except FileNotFoundError:
+            continue
+    return MODEL_SIZES[fallback_size]()
 
 
 def load_sharded_module(ckpt_dir: str, name: str, target, mesh, rules=()):
@@ -170,8 +179,9 @@ def build_eval_policy(args, ckpt_dir, config, tokenizer, core, mesh, max_length)
     """Rebuild the serve path for the checkpoint's module layout."""
     key = jax.random.PRNGKey(args.seed)
     target = init_params(config, key)
+    trunk_module = "policy" if has_module(ckpt_dir, "policy") else "base"
     base = load_sharded_module(
-        ckpt_dir, "base", target, mesh, rules=config.partition_rules()
+        ckpt_dir, trunk_module, target, mesh, rules=config.partition_rules()
     )
 
     value_algo = args.algo in ("ilql", "mc", "cql")

@@ -15,8 +15,11 @@ the SAN protocol; (2) online ILQL rounds, each rollout/update fully on
 device; (3) greedy guided mate-rate eval on held-out mate-in-1 positions.
 
 Run on the TPU chip:  python scripts/chess_ilql_gate.py
-Numbers recorded in PERF_NOTES.md; slow-marked assertion version in
-tests/test_learning_gate.py.
+Numbers recorded in PERF_NOTES.md ("chess-endgames ILQL — partial
+result"): the sampled policy improves and the Q reranker beats the
+random baseline 2x, but the gate does not yet clear a mate-rate
+threshold — no assertion test is claimed for it; the diagnosed
+bottlenecks are written down for the next round.
 """
 import argparse
 import json

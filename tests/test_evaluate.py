@@ -117,3 +117,34 @@ def test_evaluate_no_cell_accuracy_flag(tmp_path):
         ]
     )
     assert "optimal_move_accuracy" not in results
+
+
+def test_evaluate_ppo_checkpoint(tmp_path):
+    """PPO checkpoints name their trunk 'policy' (not 'base'); the
+    evaluate CLI must resolve, infer, and serve them."""
+    train_cli.main(
+        [
+            "--task", "maze",
+            "--algo", "ppo",
+            "--model-size", "tiny",
+            "--n-data", "6",
+            "--epochs", "1",
+            "--train-bsize", "4",
+            "--online-rounds", "0",
+            "--no-eval",
+            "--save-dir", str(tmp_path),
+            "--exp-name", "maze_ppo",
+        ]
+    )
+    save_dir = os.path.join(str(tmp_path), "maze_ppo")
+    results = eval_cli.main(
+        [
+            "--task", "maze",
+            "--checkpoint", save_dir,  # --algo inferred as ppo
+            "--n-rollouts", "2",
+            "--bsize", "2",
+            "--max-new-tokens", "12",
+            "--no-cell-accuracy",
+        ]
+    )
+    assert "rollouts" in results and "reward" in results["rollouts"]
