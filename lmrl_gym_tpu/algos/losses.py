@@ -72,7 +72,9 @@ def ilql_loss(
     Bellman L2 on both Q heads vs r + γ·V(next state), expectile-weighted
     V regression vs min(target Q), plus CQL cross-entropy on Q logits."""
     mask = should_take_action.astype(jnp.float32) * attention_mask
-    n = mask.sum()
+    # clamp: an all-dead batch (e.g. online windows past episode end) must
+    # yield loss 0, not 0/0 = NaN gradients that corrupt the train state
+    n = jnp.maximum(mask.sum(), 1.0)
 
     sta_flat = should_take_action.reshape(-1)
     q1_sel, sa_mask = select_at_mask(q1.reshape(-1), sta_flat)
@@ -147,7 +149,7 @@ def cql_loss(
     """SARSA-style CQL (cql/base_interface.py:29-120): ILQL minus the V
     head — Bellman target is min over the *target Q at the next action*."""
     mask = should_take_action.astype(jnp.float32) * attention_mask
-    n = mask.sum()
+    n = jnp.maximum(mask.sum(), 1.0)
 
     sta_flat = should_take_action.reshape(-1)
     q1_sel, a_mask = select_at_mask(q1.reshape(-1), sta_flat)
@@ -200,7 +202,7 @@ def mc_loss(
 ) -> Tuple[jax.Array, Any]:
     """Reward-to-go Q regression + CQL (mc_returns/base_interface.py:19-60)."""
     mask = should_take_action.astype(jnp.float32) * attention_mask
-    n = mask.sum()
+    n = jnp.maximum(mask.sum(), 1.0)
 
     sta_flat = should_take_action.reshape(-1)
     q_sel, a_mask = select_at_mask(q.reshape(-1), sta_flat)
@@ -235,7 +237,7 @@ def ppo_loss(
     """Clipped PPO objective over action tokens
     (ppo/base_interface.py:72-142; trlx-derived)."""
     mask = should_take_action.astype(jnp.float32) * attention_mask
-    n = mask.sum()
+    n = jnp.maximum(mask.sum(), 1.0)
 
     values_clipped = jnp.clip(values, old_values - cliprange_value, old_values + cliprange_value)
     vf_loss1 = (values - old_returns) ** 2

@@ -348,8 +348,11 @@ class ChessEndgameVectorEnv:
         slot_valid = slot_valid.at[:, :, 17].set(True)
         slot_valid = slot_valid.at[:, 7, 17].set(False)  # no trailing '/'
 
-        # suffix " w - - <half> <full>" (numbers: up to 3 digits each)
+        # suffix " w - - <half> <full>" (numbers: up to 3 digits each);
+        # clamp to 999 so the 3-digit invariant holds even under future
+        # long-horizon configs (d2 > 9 would emit a non-digit byte)
         def num_slots(n):
+            n = jnp.minimum(n, 999)
             d2, d1, d0 = n // 100, (n // 10) % 10, n % 10
             chars = jnp.stack([dig(d2), dig(d1), dig(d0)], axis=-1)
             valid = jnp.stack([d2 > 0, (d2 > 0) | (d1 > 0), jnp.ones_like(d0, bool)], axis=-1)

@@ -30,6 +30,7 @@ class MazeVecState(struct.PyTreeNode):
     n_steps: jax.Array  # [B] int32
     done: jax.Array  # [B] bool
     reward: jax.Array  # [B] float32 — last step's reward
+    illegal: jax.Array  # [B] bool — last step was an illegal/invalid action
 
 
 class MazeVectorEnv:
@@ -77,6 +78,7 @@ class MazeVectorEnv:
             n_steps=jnp.zeros((batch,), jnp.int32),
             done=jnp.zeros((batch,), bool),
             reward=jnp.zeros((batch,), jnp.float32),
+            illegal=jnp.zeros((batch,), bool),
         )
 
     @partial(jax.jit, static_argnums=(0,))
@@ -116,6 +118,7 @@ class MazeVectorEnv:
             n_steps=jnp.where(frozen, state.n_steps, state.n_steps + 1),
             done=jnp.where(frozen, state.done, new_done),
             reward=jnp.where(frozen, 0.0, reward),
+            illegal=jnp.where(frozen, False, action >= INVALID_ACTION),
         )
 
     @partial(jax.jit, static_argnums=(0,))

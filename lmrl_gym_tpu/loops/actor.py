@@ -289,6 +289,7 @@ class MarkovRollout(NamedTuple):
     turn_reward: jax.Array  # [B, N_TURNS] float32 (0 after done)
     turn_live: jax.Array  # [B, N_TURNS] bool
     final_obs: jax.Array  # [B, OBS_LEN] observation after the last turn
+    turn_illegal: Optional[jax.Array] = None  # [B, N_TURNS] bool (env flag)
 
     def window_tokens(self) -> jax.Array:
         """[B, N, OBS+ACT]: per-turn training windows."""
@@ -335,10 +336,13 @@ def rollout_markov(
         act = toks.T.astype(jnp.int32)  # [B, ACT_LEN]
 
         new_state = env.step(state, act, ke)
-        return new_state, (obs, act, new_state.reward * live, live)
+        illegal = new_state.illegal & live
+        return new_state, (obs, act, new_state.reward * live, live, illegal)
 
     keys = jax.random.split(key, n_turns)
-    final_state, (obs_t, act_t, rew, live) = jax.lax.scan(turn, state0, keys)
+    final_state, (obs_t, act_t, rew, live, ill) = jax.lax.scan(
+        turn, state0, keys
+    )
     return (
         MarkovRollout(
             obs_tokens=obs_t.transpose(1, 0, 2),
@@ -346,6 +350,7 @@ def rollout_markov(
             turn_reward=rew.T,
             turn_live=live.T,
             final_obs=env.obs_tokens(final_state),
+            turn_illegal=ill.T,
         ),
         final_state,
     )

@@ -222,16 +222,25 @@ def online_ilql_markov(
         )
         batch = markov_rollout_to_ilql_batch(out)
         n_windows = batch.input_ids.shape[0]
+        live_flat = out.turn_live.reshape(-1)  # [B*N] — window is live
 
         losses = []
-        n = max(1, n_windows // config.train_bsize)
+        # clamp so a slice never exceeds the window pool (train_bsize >
+        # n_windows would fail at trace time); remainder windows past the
+        # last full minibatch are dropped for the epoch, like the
+        # reference's dataloader truncation
+        bs = min(config.train_bsize, n_windows)
+        n = max(1, n_windows // bs)
         for epoch in range(config.epochs_per_round):
             k_train, k_perm = jax.random.split(k_train)
             perm = jax.random.permutation(k_perm, n_windows)
+            # stable-sort the shuffle so live windows come first: early
+            # minibatches train on real turns; all-dead tails (episodes
+            # finishing before n_turns) contribute zero loss, not NaN
+            # (see ilql_loss normalizer clamp)
+            perm = perm[jnp.argsort(~live_flat[perm], stable=True)]
             for i in range(n):
-                idx = jax.lax.dynamic_slice_in_dim(
-                    perm, i * config.train_bsize, config.train_bsize
-                )
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * bs, bs)
                 sub = jax.tree.map(lambda x: x[idx], batch)
                 k_train, k_step = jax.random.split(k_train)
                 state, loss, _ = train_step(state, sub, k_step)
@@ -245,7 +254,7 @@ def online_ilql_markov(
             ),
             "mean_turns": float(live.sum(axis=1).mean()),
             "illegal_rate": float(
-                ((out.turn_reward < 0) & live).sum() / jnp.maximum(live.sum(), 1)
+                (out.turn_illegal & live).sum() / jnp.maximum(live.sum(), 1)
             ),
             "loss": float(jnp.stack(losses).mean()),
         }
