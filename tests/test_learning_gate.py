@@ -42,6 +42,58 @@ def _policy_act(server, params, tokenizer, sampling):
     return act
 
 
+def test_bc_learning_smoke_default_suite():
+    """Default-suite e2e learning smoke (round-3 VERDICT item 10): a d64
+    L1 maze BC run whose loss must drop by >2x in under a minute, so the
+    default (non-slow) run exercises at least one real training path —
+    data generation -> tokenization -> blocking -> train step — end to
+    end and would catch a learning regression."""
+    tokenizer = ByteTokenizer()
+    config = tiny_test_config(
+        hidden_size=64, num_layers=1, num_heads=2, max_position_embeddings=256
+    )
+    core = LMCore(config)
+    chains = generate_maze_chains(24, seed=3, p_optimal=1.0)
+    token_chains = [
+        TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
+    ]
+    windows = []
+    for c in token_chains:
+        windows.extend(c.to_list())
+    examples = [
+        algo_data.BCExample.from_segments(tt.tokens, tt.is_action) for tt in windows
+    ]
+    strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, MAX_LEN)
+    dataset = algo_data.ArrayDataset(
+        algo_data.block_bc_examples(examples, strategy, tokenizer.pad_token_id)
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    state = BCTrainState(
+        model=TrainState.create(
+            apply_fn=None,
+            params=params,
+            tx=make_optimizer(OptimizerConfig(lr=3e-3), params),
+        )
+    )
+    step = make_bc_train_step(core, BCConfig(), tokenizer.pad_token_id, None)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    losses = []
+    for _epoch in range(2):
+        for b in dataset.batches(32, rng=rng, drop_last=False):
+            key, sk = jax.random.split(key)
+            state, loss, _ = step(
+                state,
+                BCBatch(jnp.asarray(b["input_ids"]), jnp.asarray(b["training_mask"])),
+                sk,
+            )
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], (
+        f"BC loss did not learn: first={losses[0]:.3f} last={losses[-1]:.3f}"
+    )
+
+
 @pytest.mark.slow
 def test_bc_training_learns_maze():
     tokenizer = ByteTokenizer()
