@@ -1,21 +1,31 @@
 """Scaling measurement harness (BASELINE 'measured scaling at 1 chip /
 1 host / >=2 hosts').
 
-Measures the vectorized-Wordle rollout and the ILQL train step over
-increasing mesh sizes. On real hardware it uses however many devices are
-attached (a pod slice after `distributed_init()`); in this repo's
-environment only one TPU chip is grantable, so the multi-device points
-run on a virtual CPU mesh (set SCALING_BACKEND=cpu, which forces
-xla_force_host_platform_device_count) — the same GSPMD partitioning
-exercised chip-for-chip, minus ICI speed.
+Round-3 VERDICT weak #3 / item 8 redesign. On this environment only one
+TPU chip is grantable, and virtual CPU devices share 2 physical cores —
+so a naive "throughput at n devices / (n x throughput at 1)" efficiency
+column measures host oversubscription, not GSPMD partitioning. This
+harness produces information that transfers to real hardware instead:
 
-Prints one JSON line per (workload, n_devices) with throughput and
-efficiency vs the 1-device point.
+1. weak scaling rows (fixed PER-DEVICE batch) — kept for the record,
+   with per-device retention; on a real pod slice these are the numbers
+   that matter, on virtual devices they carry the oversubscription note.
+2. fixed-TOTAL-work rows: the same global batch partitioned over 1 vs n
+   virtual devices runs the same FLOPs on the same physical cores, so
+   the wall-time ratio isolates the GSPMD partitioning overhead
+   (collective ops + layout changes) from oversubscription.
+3. an HLO collective census of the compiled train step per mesh shape
+   (dp / fsdp / mp): counts and output bytes of all-reduce, all-gather,
+   reduce-scatter, collective-permute, all-to-all. Deterministic,
+   backend-independent, and the input to a bandwidth model: projected
+   per-step collective time on a v5e ICI ring is reported next to it.
 
-    SCALING_BACKEND=cpu python scripts/scaling.py
+    SCALING_BACKEND=cpu python scripts/scaling.py [--out SCALING.json]
 """
+import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -45,6 +55,154 @@ from lmrl_gym_tpu.envs.wordle.vector import (  # noqa: E402
 )
 from lmrl_gym_tpu.parallel.mesh import load_mesh  # noqa: E402
 
+# v5e ICI: ~45 GB/s per link per direction (public spec ballpark used
+# only for the PROJECTION column; the census bytes are exact)
+ICI_GBPS = 45.0
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "f16": 2, "bf16": 2, "s64": 8, "u64": 8,
+    "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+}
+_SHAPE_RE = re.compile(r"(f64|f32|f16|bf16|s64|u64|s32|u32|s16|u16|s8|u8|pred)\[([0-9,]*)\]")
+_COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
+
+
+def _shape_bytes(segment: str) -> int:
+    """Sum tensor bytes over every typed shape literal in an HLO segment."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(segment):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def collective_census(hlo_text: str) -> dict:
+    """Count collective ops and their OUTPUT bytes in optimized HLO."""
+    census = {}
+    for line in hlo_text.splitlines():
+        line = line.strip()
+        # match '%op-name.N = <shape> op-name(' — the op must be the
+        # instruction, not a substring of an operand name
+        m = re.match(r"%?[\w.\-]+ = (.*?) ([\w\-]+)\(", line)
+        if not m:
+            continue
+        shape_part, op = m.groups()
+        base = None
+        for c in _COLLECTIVES:
+            if op == c or op.startswith(c + "-start") or op.startswith(c + "."):
+                base = c
+                break
+        if base is None:
+            continue
+        entry = census.setdefault(base, {"count": 0, "bytes": 0})
+        entry["count"] += 1
+        entry["bytes"] += _shape_bytes(shape_part)
+    return census
+
+
+def _make_ilql_setup(mesh, config=None):
+    import optax
+
+    from lmrl_gym_tpu.algos.ilql import (
+        ILQLConfig,
+        init_ilql_state,
+        make_ilql_train_step,
+    )
+    from lmrl_gym_tpu.models.config import TransformerConfig
+    from lmrl_gym_tpu.models.heads import MLPHead, MLPHeadConfig, init_head_params
+    from lmrl_gym_tpu.models.interface import LMCore
+    from lmrl_gym_tpu.models.transformer import init_params
+    from lmrl_gym_tpu.parallel.mesh import (
+        match_partition_rules,
+        refine_specs_for_shapes,
+        shard_pytree,
+    )
+
+    config = config or TransformerConfig(
+        vocab_size=259, hidden_size=256, num_layers=4, num_heads=4,
+        max_position_embeddings=256, pad_vocab_to_multiple=64,
+        embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
+    )
+    core = LMCore(config, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    q_cfg = MLPHeadConfig(
+        input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
+        output_dim=config.padded_vocab_size, layer2_initializer_range=0.0,
+    )
+    v_cfg = MLPHeadConfig(
+        input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
+        output_dim=1, layer2_initializer_range=0.0,
+    )
+    q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
+    ilql_config = ILQLConfig()
+
+    base_params = init_params(config, ks[0])
+    base_specs = refine_specs_for_shapes(
+        match_partition_rules(config.partition_rules(), base_params),
+        base_params, mesh,
+    )
+    base_params = shard_pytree(base_params, base_specs, mesh)
+
+    def shard_head(head, cfg, k):
+        p = init_head_params(head, config.hidden_size, k)
+        specs = refine_specs_for_shapes(
+            match_partition_rules(cfg.partition_rules(), p), p, mesh
+        )
+        return shard_pytree(p, specs, mesh)
+
+    import optax as _optax
+
+    state = init_ilql_state(
+        base_params,
+        shard_head(q_head, q_cfg, ks[1]),
+        shard_head(q_head, q_cfg, ks[2]),
+        shard_head(v_head, v_cfg, ks[3]),
+        _optax.adamw(1e-4), _optax.adamw(1e-3), ilql_config,
+    )
+    step = make_ilql_train_step(
+        core, q_head, v_head, ilql_config, pad_token_id=256, mesh=mesh
+    )
+    return state, step
+
+
+def _make_batch(B, T, mesh):
+    from lmrl_gym_tpu.algos.ilql import ILQLBatch
+
+    rng = np.random.default_rng(0)
+    sta = np.zeros((B, T - 1), bool)
+    sta[:, 1::2] = True
+    sh2 = NamedSharding(mesh, PS(("dp", "fsdp"), None))
+    sh1 = NamedSharding(mesh, PS(("dp", "fsdp")))
+    return ILQLBatch(
+        input_ids=jax.device_put(
+            np.asarray(rng.integers(1, 256, (B, T)), np.int32), sh2
+        ),
+        should_take_action=jax.device_put(sta, sh2),
+        rewards=jax.device_put(np.asarray(-1.0 * sta, np.float32), sh2),
+        dones=jax.device_put(np.zeros((B,), bool), sh1),
+        next_token_ids=jax.device_put(
+            np.asarray(rng.integers(1, 256, (B, 16)), np.int32), sh2
+        ),
+        next_dones=jax.device_put(np.ones((B,), bool), sh1),
+    )
+
+
+def _time_step(state, step, batch, reps=5):
+    state, loss, _ = step(state, batch, jax.random.PRNGKey(1))
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, loss, _ = step(state, batch, jax.random.PRNGKey(i))
+    float(loss)
+    return (time.perf_counter() - t0) / reps
+
 
 def bench_env_rollout(n_devices: int, per_device_batch: int = 1024, reps: int = 5):
     devices = jax.devices()[:n_devices]
@@ -63,105 +221,121 @@ def bench_env_rollout(n_devices: int, per_device_batch: int = 1024, reps: int = 
     return B * N_TRIES * reps / dt
 
 
-def bench_ilql_step(n_devices: int, per_device_batch: int = 4, reps: int = 5):
-    """ILQL train step (base + 3 heads) with batch dp-sharded and params
-    fsdp/mp-replicated on an (n,1,1) mesh — the learner-side workload of
-    the BASELINE scaling row."""
-    import optax
+def weak_scaling_rows(points, per_device_batch=4, T=64):
+    """Fixed per-device batch over growing meshes."""
+    rows = []
+    base = None
+    for n in points:
+        mesh = load_mesh((n, 1, 1), ("dp", "fsdp", "mp"), devices=jax.devices()[:n])
+        state, step = _make_ilql_setup(mesh)
+        batch = _make_batch(per_device_batch * n, T, mesh)
+        dt = _time_step(state, step, batch)
+        per_dev = (per_device_batch / dt)
+        if base is None:
+            base = per_dev
+        rows.append({
+            "workload": "ilql_weak_scaling",
+            "n_devices": n,
+            "per_device_examples_per_s": round(per_dev, 3),
+            "retention_vs_1dev": round(per_dev / base, 3),
+        })
+    return rows
 
-    from lmrl_gym_tpu.algos.ilql import (
-        ILQLBatch,
-        ILQLConfig,
-        init_ilql_state,
-        make_ilql_train_step,
-    )
-    from lmrl_gym_tpu.models.config import TransformerConfig
-    from lmrl_gym_tpu.models.heads import MLPHead, MLPHeadConfig, init_head_params
-    from lmrl_gym_tpu.models.interface import LMCore
-    from lmrl_gym_tpu.models.transformer import init_params
 
-    devices = jax.devices()[:n_devices]
-    mesh = load_mesh((n_devices, 1, 1), ("dp", "fsdp", "mp"), devices=devices)
-    config = TransformerConfig(
-        vocab_size=259, hidden_size=256, num_layers=4, num_heads=4,
-        max_position_embeddings=256, pad_vocab_to_multiple=64,
-        embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
-    )
-    core = LMCore(config, mesh=mesh)
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 4)
-    q_cfg = MLPHeadConfig(
-        input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
-        output_dim=config.padded_vocab_size, layer2_initializer_range=0.0,
-    )
-    v_cfg = MLPHeadConfig(
-        input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
-        output_dim=1, layer2_initializer_range=0.0,
-    )
-    q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
-    ilql_config = ILQLConfig()
-    state = init_ilql_state(
-        init_params(config, ks[0]),
-        init_head_params(q_head, config.hidden_size, ks[1]),
-        init_head_params(q_head, config.hidden_size, ks[2]),
-        init_head_params(v_head, config.hidden_size, ks[3]),
-        optax.adamw(1e-4), optax.adamw(1e-3), ilql_config,
-    )
-    state = jax.device_put(state, NamedSharding(mesh, PS()))
-    step = make_ilql_train_step(core, q_head, v_head, ilql_config, pad_token_id=256)
+def fixed_total_work_rows(points, total_batch=16, T=64):
+    """Same global batch over 1 vs n devices: on virtual devices the
+    physical FLOPs are constant, so wall-time growth isolates GSPMD
+    partitioning overhead from oversubscription."""
+    rows = []
+    base_dt = None
+    for n in points:
+        mesh = load_mesh((n, 1, 1), ("dp", "fsdp", "mp"), devices=jax.devices()[:n])
+        state, step = _make_ilql_setup(mesh)
+        batch = _make_batch(total_batch, T, mesh)
+        dt = _time_step(state, step, batch)
+        if base_dt is None:
+            base_dt = dt
+        rows.append({
+            "workload": "ilql_fixed_total_work",
+            "n_devices": n,
+            "step_ms": round(dt * 1e3, 2),
+            "partitioning_overhead_pct": round(100 * (dt / base_dt - 1), 1),
+        })
+    return rows
 
-    B, T = per_device_batch * n_devices, 64
-    rng = np.random.default_rng(0)
-    sta = np.zeros((B, T - 1), bool)
-    sta[:, 1::2] = True
-    batch_sharding = NamedSharding(mesh, PS(("dp", "fsdp")))
-    batch = jax.tree.map(
-        lambda x: jax.device_put(jnp.asarray(x), batch_sharding),
-        ILQLBatch(
-            input_ids=np.asarray(rng.integers(1, 256, (B, T)), np.int32),
-            should_take_action=sta,
-            rewards=np.asarray(-1.0 * sta, np.float32),
-            dones=np.zeros((B,), bool),
-            next_token_ids=np.asarray(rng.integers(1, 256, (B, 16)), np.int32),
-            next_dones=np.ones((B,), bool),
-        ),
-    )
-    state, loss, _ = step(state, batch, jax.random.PRNGKey(1))
-    float(loss)
-    t0 = time.perf_counter()
-    for i in range(reps):
-        state, loss, _ = step(state, batch, jax.random.PRNGKey(i))
-    float(loss)
-    dt = time.perf_counter() - t0
-    return reps / dt
+
+def collective_rows(mesh_shapes, B=16, T=64):
+    """HLO collective census of the compiled ILQL step per mesh shape,
+    plus a projected per-step collective time on a v5e ICI ring
+    (1D ring all-reduce moves 2(n-1)/n x bytes per device)."""
+    rows = []
+    for (dp, fsdp, mp) in mesh_shapes:
+        n = dp * fsdp * mp
+        if n > len(jax.devices()):
+            continue
+        mesh = load_mesh((dp, fsdp, mp), ("dp", "fsdp", "mp"),
+                         devices=jax.devices()[:n])
+        state, step = _make_ilql_setup(mesh)
+        batch = _make_batch(B, T, mesh)
+        # make_ilql_train_step returns a jitted callable: lower directly
+        lowered = step.lower(state, batch, jax.random.PRNGKey(1))
+        hlo = lowered.compile().as_text()
+        census = collective_census(hlo)
+        total_bytes = sum(v["bytes"] for v in census.values())
+        # ring model: all-reduce 2(n-1)/n, all-gather/reduce-scatter
+        # (n-1)/n of the payload crosses each link; use the conservative
+        # all-reduce factor for everything
+        ring_factor = 2 * (n - 1) / n if n > 1 else 0.0
+        proj_ms = total_bytes * ring_factor / (ICI_GBPS * 1e9) * 1e3
+        rows.append({
+            "workload": "ilql_collective_census",
+            "mesh": f"dp{dp} fsdp{fsdp} mp{mp}",
+            "census": census,
+            "collective_bytes_per_step": total_bytes,
+            "projected_v5e_ici_ms_per_step": round(proj_ms, 3),
+        })
+    return rows
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
     n_avail = len(jax.devices())
     points = sorted({1, 2, 4, 8} & set(range(1, n_avail + 1))) or [1]
-    workloads = [
-        ("wordle_env_rollout", bench_env_rollout, "env_steps_per_s"),
-        ("ilql_train_step", bench_ilql_step, "updates_per_s"),
-    ]
-    for name, fn, unit in workloads:
-        base = None
-        for n in points:
-            steps = fn(n)
-            if base is None:
-                base = steps
-            row = {
-                "workload": name,
-                "n_devices": n,
-                unit: round(steps, 3),
-                "scaling_efficiency": round(steps / (base * n), 3),
-                "backend": jax.default_backend(),
-            }
-            if jax.default_backend() == "cpu":
-                # virtual CPU devices share the same physical cores:
-                # efficiency here measures host oversubscription, not GSPMD
-                # partitioning.
-                row["note"] = "virtual devices share cores; efficiency not meaningful"
-            print(json.dumps(row))
+    rows = []
+
+    # env rollout weak scaling (kept from the original harness)
+    base = None
+    for n in points:
+        steps = bench_env_rollout(n)
+        if base is None:
+            base = steps
+        rows.append({
+            "workload": "wordle_env_rollout_weak",
+            "n_devices": n,
+            "env_steps_per_s": round(steps, 1),
+            "retention_vs_1dev": round(steps / (base * n), 3),
+        })
+
+    rows += weak_scaling_rows(points)
+    rows += fixed_total_work_rows(points)
+    rows += collective_rows([(1, 1, 1), (8, 1, 1), (1, 8, 1), (2, 2, 2), (1, 4, 2)])
+
+    backend = jax.default_backend()
+    meta = {"backend": backend, "n_devices": n_avail}
+    if backend == "cpu":
+        meta["note"] = (
+            "virtual devices share 2 physical cores: weak-scaling retention "
+            "includes oversubscription; fixed_total_work and the collective "
+            "census are the backend-independent signals"
+        )
+    for r in rows:
+        print(json.dumps({**r, "backend": backend}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"meta": meta, "rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
