@@ -44,6 +44,22 @@ from lmrl_gym_tpu.models.transformer import KVCache, mask_pad_logits
 from lmrl_gym_tpu.text.frames import Text, TextHistory, text_history_to_str
 
 
+def _bucket_batch(ids: np.ndarray) -> Tuple[jnp.ndarray, int]:
+    """Pad the batch dim up to the next power of two by repeating row 0.
+
+    The jitted generate scans specialize on (B, T); during env rollouts
+    the live-prompt count shrinks as episodes finish, and without
+    bucketing every distinct B compiles a fresh decode program (20-40s
+    each on the remote-compile TPU backend). Bucketing bounds the shape
+    family to log2(B_max) programs; callers slice outputs back to B."""
+    B = ids.shape[0]
+    Bp = 1 << max(0, B - 1).bit_length()
+    if Bp == B:
+        return jnp.asarray(ids), B
+    reps = np.broadcast_to(ids[:1], (Bp - B,) + ids.shape[1:])
+    return jnp.asarray(np.concatenate([ids, reps], axis=0)), B
+
+
 class ValueRLParams(NamedTuple):
     """Parameter bundle (cf. ValueRLInference, value_rl_base/base_interface.py:26-66)."""
 
@@ -165,11 +181,11 @@ class ValueGuidedServer:
             np.int32,
             BlockingStrategy(Padding.LEFT, Truncation.LEFT, max_input_length),
         )
-        ids = jnp.asarray(ids)
+        ids, B = _bucket_batch(ids)
         mask = (ids != tok.pad_token_id).astype(jnp.int32)
         tokens, token_mask = self.generate(params, ids, mask, sampling, key)
         outs = []
-        for row, mrow in zip(np.asarray(tokens), np.asarray(token_mask)):
+        for row, mrow in zip(np.asarray(tokens)[:B], np.asarray(token_mask)[:B]):
             outs.append(tok.decode([int(t) for t, m in zip(row, mrow) if m]))
         return outs
 
@@ -204,12 +220,12 @@ class LMServer:
             np.int32,
             BlockingStrategy(Padding.LEFT, Truncation.LEFT, max_input_length),
         )
-        ids = jnp.asarray(ids)
+        ids, B = _bucket_batch(ids)
         mask = (ids != tok.pad_token_id).astype(jnp.int32)
         tokens, token_mask = self.generate(params, ids, mask, sampling, key)
         return [
             tok.decode([int(t) for t, m in zip(row, mrow) if m])
-            for row, mrow in zip(np.asarray(tokens), np.asarray(token_mask))
+            for row, mrow in zip(np.asarray(tokens)[:B], np.asarray(token_mask)[:B])
         ]
 
 
@@ -253,12 +269,12 @@ class Seq2SeqServer:
             np.int32,
             BlockingStrategy(Padding.RIGHT, Truncation.LEFT, max_input_length),
         )
-        ids = jnp.asarray(ids)
+        ids, B = _bucket_batch(ids)
         mask = (ids != tok.pad_token_id).astype(jnp.int32)
         tokens, token_mask = self.generate(params, ids, mask, sampling, key)
         return [
             tok.decode([int(t) for t, m in zip(row, mrow) if m])
-            for row, mrow in zip(np.asarray(tokens), np.asarray(token_mask))
+            for row, mrow in zip(np.asarray(tokens)[:B], np.asarray(token_mask)[:B])
         ]
 
 

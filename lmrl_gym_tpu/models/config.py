@@ -49,15 +49,13 @@ class TransformerConfig:
     # non-TPU backends or unsupported shapes it transparently falls back to
     # XLA attention (ops/flash_attention.py), so leaving it on is safe.
     use_flash_attention: bool = True
-    # Pallas decode-attention kernel on the cached q_len=1 path. OFF by
-    # default: in-context (inside the fused actor's rollout program) the
-    # pallas_call boundary forces cache materialization/copies and measured
-    # 2.4x SLOWER end-to-end than XLA's einsum decode once the KV cache is
-    # held in per-layer buffers (v5e, B=512 gpt2-small T_max=128: XLA 7.5k
-    # env-steps/s vs kernel 3.1k — see PERF_NOTES.md r3). The kernel's
-    # fill-clamped reads only pay off at cache lengths this framework's
-    # tasks don't reach; flip on for long-context serving experiments.
-    use_pallas_decode: bool = False
+    # (a Pallas decode-attention kernel was evaluated and RETIRED in r4:
+    # inside the fused actor's rollout program the pallas_call boundary
+    # forces cache materialization/copies and measured 2.4x slower
+    # end-to-end than XLA's einsum decode at this framework's cache
+    # lengths — v5e, B=512 gpt2-small T_max=128: XLA 7.5k env-steps/s vs
+    # kernel 3.1k. ops/decode_attention.py remains as a tested negative
+    # result; see PERF_NOTES.md.)
     # sequence parallelism: when the model's mesh has an 'sp' axis of
     # size > 1, the no-cache attention runs as ring attention with the
     # sequence sharded over 'sp' (parallel/ring_attention.py) and

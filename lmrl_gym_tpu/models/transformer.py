@@ -24,7 +24,12 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
 from lmrl_gym_tpu.models.config import TransformerConfig
-from lmrl_gym_tpu.ops.decode_attention import decode_attention, supports_decode
+# NOTE: ops/decode_attention.py (a Pallas q_len=1 decode kernel) is
+# deliberately NOT wired into this model: measured 2.4x slower end-to-end
+# than XLA's einsum decode inside the fused actor at this framework's
+# cache lengths (B=512 gpt2-small T_max=128 on v5e; PERF_NOTES.md r3/r4).
+# The module is kept with its correctness tests as a documented negative
+# result for long-context serving experiments.
 from lmrl_gym_tpu.ops.flash_attention import (
     _NEG_BIG as _MASK_BIAS,
     flash_attention,
@@ -217,23 +222,6 @@ class Attention(nn.Module):
                 self.mesh, causal=True, sm_scale=float(1.0 / Dh**0.5)
             )
             out = ring(q, k, v, bias)
-        elif (
-            cfg.use_pallas_decode
-            and layer_cache is not None
-            and not attn_dropout
-            and supports_decode(q.shape, T_kv)
-        ):
-            # Fused decode attention (ops/decode_attention.py): fill-clamped
-            # KV reads, scores in VMEM. Opt-in (config.use_pallas_decode):
-            # measured SLOWER than the XLA einsum inside the fused actor at
-            # this framework's cache lengths — see the config flag comment
-            # and PERF_NOTES.md r3 for the numbers.
-            bias = jnp.where(
-                attention_mask.astype(bool), 0.0, _MASK_BIAS
-            ).astype(jnp.float32)
-            out = decode_attention(
-                q, k, v, index, bias, sm_scale=float(1.0 / Dh**0.5)
-            )
         elif (
             cfg.use_flash_attention
             and layer_cache is None

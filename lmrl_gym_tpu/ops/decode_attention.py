@@ -1,5 +1,14 @@
 """Fused single-token KV-cache decode attention as a Pallas TPU kernel.
 
+STATUS (r4): RETIRED from the model's decode dispatch — a documented
+negative result. Composed inside the fused actor's rollout program the
+pallas_call boundary forces cache materialization/copies and the kernel
+measured 2.4x SLOWER end-to-end than XLA's einsum decode at this
+framework's cache lengths (v5e, B=512 gpt2-small T_max=128: 7.5k vs 3.1k
+env-steps/s; PERF_NOTES.md r3/r4). Its fill-clamped reads only pay off at
+cache lengths the benchmark tasks never reach. The module and its
+correctness tests are kept for long-context serving experiments.
+
 The decode hot loop (models/generation.py scan decode and the fused actor,
 loops/actor.py) is bound by reading the KV cache: XLA's einsum attention
 at q_len=1 reads every K/V slot of the static cache every step and runs at

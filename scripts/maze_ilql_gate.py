@@ -16,6 +16,14 @@ prints the learning curve:
 Run on the TPU chip:  python scripts/maze_ilql_gate.py
 The recorded curve lives in PERF_NOTES.md; tests/test_learning_gate.py
 has a slow-marked assertion version.
+
+--gpt2-small runs the gate at the REFERENCE operating point (round-3
+VERDICT item 1): the exact GPT-2-small architecture — d768 L12 H12,
+vocab 50,257 (maze/ilql/train_ilql.py:184-194 loads HF gpt2) — with the
+in-repo BPE tokenizer (text/bpe.py) in place of the hub-downloaded GPT-2
+BPE (zero egress; pretrained weights are likewise not obtainable here,
+so the trunk is BC-pretrained from random init on the behavior data —
+the honest in-environment equivalent, documented in PERF_NOTES.md).
 """
 import argparse
 import json
@@ -45,7 +53,22 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument(
+        "--gpt2-small", action="store_true",
+        help="run at the reference operating point: GPT-2-small arch "
+        "(d768 L12 H12, vocab 50257) + in-repo BPE tokenizer",
+    )
+    p.add_argument("--tokenizer", choices=["byte", "bpe"], default=None)
+    p.add_argument("--bpe-vocab", type=int, default=1024)
     args = p.parse_args(argv)
+    if args.gpt2_small:
+        args.hidden, args.layers, args.heads = 768, 12, 12
+        if args.tokenizer is None:
+            args.tokenizer = "bpe"
+        if args.lr == p.get_default("lr"):
+            args.lr = 3e-4  # GPT-2-small scale: 1e-3 is unstable
+    if args.tokenizer is None:
+        args.tokenizer = "byte"
 
     try:
         jax.config.update(
@@ -81,20 +104,37 @@ def main(argv=None):
     from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
 
     MAX_LEN, GOAL = 160, (8, 6)
-    tokenizer = ByteTokenizer()
+    if args.tokenizer == "bpe":
+        from lmrl_gym_tpu.text.bpe import train_bpe_for_task
+
+        tokenizer = train_bpe_for_task(
+            "maze", vocab_size=args.bpe_vocab, n_episodes=100, seed=0
+        )
+        eos_id = tokenizer.newline_token_id
+    else:
+        tokenizer = ByteTokenizer()
+        eos_id = 10
+    # --gpt2-small: model vocab is the full 50,257 GPT-2 id space even
+    # though the task BPE only populates the low ids — the embedding/
+    # softmax cost is what defines the reference operating point
+    model_vocab = 50257 if args.gpt2_small else tokenizer.vocab_size
+    assert tokenizer.vocab_size <= model_vocab
     config = TransformerConfig(
-        vocab_size=tokenizer.vocab_size, hidden_size=args.hidden,
+        vocab_size=model_vocab, hidden_size=args.hidden,
         num_layers=args.layers, num_heads=args.heads,
-        max_position_embeddings=256, pad_vocab_to_multiple=64,
+        max_position_embeddings=256,
+        pad_vocab_to_multiple=128 if args.gpt2_small else 64,
         embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
     )
     core = LMCore(config)
     maze = double_t_maze()
     strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, MAX_LEN)
     sampling = SamplingConfig(
-        max_new_tokens=12, greedy=True, eos_token_id=10,
+        max_new_tokens=12, greedy=True, eos_token_id=eos_id,
         pad_token_id=tokenizer.pad_token_id,
     )
+    print(f"model: d{args.hidden} L{args.layers} H{args.heads} "
+          f"vocab{model_vocab} tokenizer={args.tokenizer}({tokenizer.vocab_size})")
 
     print(f"data: {args.n_chains} chains, p_optimal={args.p_optimal} wrong-biased")
     chains = generate_maze_chains(

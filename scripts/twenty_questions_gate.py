@@ -1,0 +1,273 @@
+"""Dialog-task learning gate with the LM oracle in the loop (round-3
+VERDICT item 3 / BASELINE config #5).
+
+Twenty-Questions is the cheapest oracle task: the reference trains a
+flan-t5-xl oracle and runs BC/filtered-BC/ILQL/PPO against it
+(llm_rl_scripts/twenty_questions/ppo/train_ppo.py, env/oracle.py:20-147).
+Here the full in-repo pipeline runs end to end:
+
+  1. train the LM oracle from the scripted teacher's QA distribution
+     (envs/lm_oracle.py collect -> train), served BATCHED on the mesh;
+  2. collect behavior episodes from a mixed-quality asker (p_good of the
+     mass on the category-elimination heuristic, the rest on random
+     object guesses) so episode rewards spread;
+  3. BC on ALL episodes vs FILTERED BC on the top reward fraction
+     (the reference's %BC filter, wordle/bc/create_percent_bc_data.py);
+  4. evaluate both policies by rollouts in the LM-oracle env on fixed
+     seeds and report mean reward — filtered BC must beat BC.
+
+Run on the TPU chip:  python scripts/twenty_questions_gate.py
+Numbers live in PERF_NOTES.md; tests/test_learning_gate.py has a
+slow-marked CPU-sized assertion version.
+"""
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("GATE_BACKEND") == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+if os.environ.get("GATE_BACKEND") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_policy_trainer(core, config, tokenizer, max_len, lr, bc_epochs, bsize):
+    """Returns train(windows, seed) -> params (fresh model each call)."""
+    import optax  # noqa: F401
+    from flax.training.train_state import TrainState
+
+    from lmrl_gym_tpu.algos import data as algo_data
+    from lmrl_gym_tpu.algos.bc import BCBatch, BCConfig, BCTrainState, make_bc_train_step
+    from lmrl_gym_tpu.core.blocking import BlockingStrategy, Padding, Truncation
+    from lmrl_gym_tpu.core.optimizer import OptimizerConfig, make_optimizer
+    from lmrl_gym_tpu.models.transformer import init_params
+    from lmrl_gym_tpu.text.frames import TokenTrajectory
+
+    strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, max_len)
+    step = make_bc_train_step(core, BCConfig(), tokenizer.pad_token_id, None)
+
+    def train(trajectories, seed):
+        examples = []
+        for traj in trajectories:
+            tt = TokenTrajectory.from_text_trajectory(traj, tokenizer)
+            examples.append(
+                algo_data.BCExample.from_segments(tt.tokens, tt.is_action)
+            )
+        dataset = algo_data.ArrayDataset(
+            algo_data.block_bc_examples(examples, strategy, tokenizer.pad_token_id)
+        )
+        params = init_params(config, jax.random.PRNGKey(seed))
+        state = BCTrainState(
+            model=TrainState.create(
+                apply_fn=None, params=params,
+                tx=make_optimizer(OptimizerConfig(lr=lr), params),
+            )
+        )
+        key = jax.random.PRNGKey(seed + 1)
+        rng = np.random.default_rng(seed)
+        loss = jnp.zeros(())
+        for _ in range(bc_epochs):
+            for b in dataset.batches(bsize, rng=rng, drop_last=False):
+                key, sk = jax.random.split(key)
+                state, loss, _ = step(
+                    state,
+                    BCBatch(
+                        jnp.asarray(b["input_ids"]),
+                        jnp.asarray(b["training_mask"]),
+                    ),
+                    sk,
+                )
+        return state.model.params, float(loss)
+
+    return train
+
+
+def collect_behavior(n_episodes, p_good, seed):
+    """Mixed-quality asker in the scripted-oracle env → (trajectory,
+    total_reward) pairs. Bad actions are random object guesses from a
+    random category, which prolong the episode."""
+    from lmrl_gym_tpu.cli.tasks import (
+        HeuristicAskerPolicy,
+        build_twenty_questions_env,
+        transitions_to_chain,
+    )
+    from lmrl_gym_tpu.envs.base import TextPolicy, interact_environment
+    from lmrl_gym_tpu.envs.twenty_questions.data import DEFAULT_OBJECT_DICT
+    from lmrl_gym_tpu.text.frames import Text
+
+    env = build_twenty_questions_env()
+    rng = random.Random(seed)
+    all_objects = [
+        e.split(";")[0] for entries in DEFAULT_OBJECT_DICT.values() for e in entries
+    ]
+
+    class NoisyAsker(TextPolicy):
+        def __init__(self):
+            self.inner = HeuristicAskerPolicy(rng=rng)
+
+        def act(self, history):
+            if rng.random() < p_good:
+                return self.inner.act(history)
+            obj = rng.choice(all_objects).lower()
+            article = "an" if obj[0] in "aeiou" else "a"
+            return history + (Text(f"Is it {article} {obj}?\n", True),)
+
+    episodes = []
+    for i in range(n_episodes):
+        transitions = interact_environment(
+            env, NoisyAsker(), env_seed=seed * 104729 + i
+        )[0]
+        chain = transitions_to_chain(transitions)
+        traj = chain.text_trajectory
+        episodes.append((traj, sum(traj.reward)))
+    return episodes
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--oracle-episodes", type=int, default=200)
+    p.add_argument("--oracle-epochs", type=int, default=4)
+    p.add_argument("--behavior-episodes", type=int, default=300)
+    p.add_argument("--p-good", type=float, default=0.5)
+    p.add_argument("--filter-frac", type=float, default=0.25)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--bc-epochs", type=int, default=3)
+    p.add_argument("--bsize", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--max-len", type=int, default=768)
+    p.add_argument("--eval-rollouts", type=int, default=32)
+    p.add_argument("--eval-bsize", type=int, default=16)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from lmrl_gym_tpu.algos.value_policy import GenerationPolicy, LMServer
+    from lmrl_gym_tpu.envs.base import text_env_eval
+    from lmrl_gym_tpu.envs.lm_oracle import (
+        OracleTrainConfig,
+        build_lm_twenty_questions_env,
+        collect_twenty_questions_qa,
+        train_oracle_lm,
+    )
+    from lmrl_gym_tpu.models.config import tiny_test_config
+    from lmrl_gym_tpu.models.generation import SamplingConfig
+    from lmrl_gym_tpu.models.interface import LMCore
+    from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
+
+    t_start = time.time()
+    tokenizer = ByteTokenizer()
+
+    # ---- stage 1: LM oracle, trained in-repo, served batched
+    print(f"oracle: {args.oracle_episodes} teacher episodes")
+    qa = collect_twenty_questions_qa(args.oracle_episodes, seed=args.seed)
+    oracle_core, _, oracle_params, _ = train_oracle_lm(
+        qa,
+        OracleTrainConfig(
+            n_episodes=args.oracle_episodes, epochs=args.oracle_epochs,
+            seed=args.seed,
+        ),
+        tokenizer=tokenizer,
+    )
+    lm_env = build_lm_twenty_questions_env(
+        oracle_core, tokenizer, oracle_params, batched=True
+    )
+
+    # ---- stage 2: behavior data
+    episodes = collect_behavior(args.behavior_episodes, args.p_good, args.seed)
+    rewards = np.asarray([r for _, r in episodes])
+    print(
+        f"behavior: {len(episodes)} episodes, reward mean {rewards.mean():.2f} "
+        f"min {rewards.min():.0f} max {rewards.max():.0f} ({time.time()-t_start:.0f}s)"
+    )
+
+    # ---- stage 3: BC vs filtered BC
+    config = tiny_test_config(
+        vocab_size=tokenizer.vocab_size, hidden_size=args.hidden,
+        num_layers=args.layers, num_heads=args.heads,
+        max_position_embeddings=max(256, args.max_len),
+    )
+    core = LMCore(config)
+    train = build_policy_trainer(
+        core, config, tokenizer, args.max_len, args.lr, args.bc_epochs, args.bsize
+    )
+    all_trajs = [t for t, _ in episodes]
+    cutoff = np.quantile(rewards, 1.0 - args.filter_frac)
+    filtered = [t for t, r in episodes if r >= cutoff]
+    print(f"filter: top {args.filter_frac:.0%} (reward >= {cutoff:.0f}) "
+          f"keeps {len(filtered)} episodes")
+
+    bc_params, bc_loss = train(all_trajs, args.seed)
+    fbc_params, fbc_loss = train(filtered, args.seed)
+    print(f"BC loss {bc_loss:.3f} | filtered-BC loss {fbc_loss:.3f} "
+          f"({time.time()-t_start:.0f}s)")
+
+    # ---- stage 4: eval both in the LM-oracle env, fixed seeds
+    server = LMServer(core, tokenizer)
+    sampling = SamplingConfig(
+        max_new_tokens=48, greedy=True, eos_token_id=10,
+        pad_token_id=tokenizer.pad_token_id,
+    )
+
+    def eval_policy(params, name):
+        def generate_batch(prompts, key):
+            return server.generate_from_strs(
+                params, prompts, args.max_len, sampling, key
+            )
+
+        policy = GenerationPolicy(
+            generate_batch=generate_batch, key=jax.random.PRNGKey(args.seed)
+        )
+        _, summary = text_env_eval(
+            lm_env, policy, n_rollouts=args.eval_rollouts,
+            seed_generator=iter(range(10_000, 10_000 + args.eval_rollouts)),
+            bsize=args.eval_bsize,
+        )
+        print(f"{name}: reward {summary['reward']['mean']:.2f} "
+              f"done {summary['done']['mean']:.2f} "
+              f"len {summary['length']['mean']:.1f} "
+              f"({time.time()-t_start:.0f}s)")
+        return summary
+
+    bc_summary = eval_policy(bc_params, "BC(all)")
+    fbc_summary = eval_policy(fbc_params, "filtered-BC")
+
+    result = dict(
+        behavior_reward_mean=float(rewards.mean()),
+        bc_reward=bc_summary["reward"]["mean"],
+        filtered_bc_reward=fbc_summary["reward"]["mean"],
+        bc_summary=bc_summary,
+        filtered_bc_summary=fbc_summary,
+        model=f"d{args.hidden} L{args.layers} byte-vocab policy + "
+        f"d128 L4 LM oracle (in-repo trained; ref uses flan-t5-xl)",
+    )
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(dict(args=vars(args), **result), f, indent=1)
+    return result
+
+
+if __name__ == "__main__":
+    main()

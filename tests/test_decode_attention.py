@@ -66,52 +66,7 @@ def test_kernel_no_bias_bf16():
     )
 
 
-def test_model_decode_path_matches_einsum(monkeypatch):
-    """Full cached forward: kernel branch == einsum branch logits."""
-    from lmrl_gym_tpu.models.config import TransformerConfig
-    from lmrl_gym_tpu.models.interface import LMCore
-    from lmrl_gym_tpu.models.transformer import KVCache, init_params
-    import lmrl_gym_tpu.models.transformer as tr
-
-    config = TransformerConfig(
-        vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
-        max_position_embeddings=128, pad_vocab_to_multiple=8,
-        embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
-        use_flash_attention=True, use_pallas_decode=True, dtype="float32",
-    )
-    core = LMCore(config)
-    params = init_params(config, jax.random.PRNGKey(0))
-    B, S = 2, 64
-    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, 9), 0, 64)
-
-    def run(force_einsum):
-        if force_einsum:
-            monkeypatch.setattr(tr, "supports_decode", lambda *a, **kw: False)
-        else:
-            monkeypatch.setattr(
-                tr, "supports_decode", da.supports_decode
-            )
-        cache = KVCache.init(config, B, S)
-        # prefill 9 tokens, then decode 3 single tokens
-        logits, _, cache = core.module.apply(
-            {"params": params}, tokens,
-            attention_mask=jnp.ones((B, S), jnp.int32),
-            position_ids=jnp.arange(9)[None, :].repeat(B, 0),
-            cache=cache, deterministic=True,
-        )
-        outs = [logits[:, -1]]
-        # fixed decode tokens so both branches see identical inputs
-        decode_toks = jax.random.randint(jax.random.PRNGKey(2), (3, B), 0, 64)
-        for i in range(3):
-            logits, _, cache = core.module.apply(
-                {"params": params}, decode_toks[i][:, None],
-                attention_mask=jnp.ones((B, S), jnp.int32),
-                position_ids=cache.index + jnp.arange(1)[None, :],
-                cache=cache, deterministic=True,
-            )
-            outs.append(logits[:, -1])
-        return jnp.stack(outs, 1)
-
-    got = run(force_einsum=False)
-    want = run(force_einsum=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
+# (test_model_decode_path_matches_einsum removed in r4: the kernel was
+# retired from the model's decode dispatch — measured 2.4x slower
+# end-to-end than XLA einsum at this framework's cache lengths; the
+# kernel-vs-XLA correctness tests above still cover the module.)
