@@ -244,6 +244,36 @@ def main(argv=None):
 
         return act
 
+    # reranker probe: score the 4-move proposal set with Σ(min(Q1,Q2)−V)
+    # per cell (the reference's maze reranker) — decomposes VALUE learning
+    # from decode-composition failures in the guided accuracy
+    from lmrl_gym_tpu.algos.value_policy import (
+        ReRankerPolicy,
+        make_ilql_score_fn,
+        tokenize_histories_for_scoring,
+    )
+    from lmrl_gym_tpu.envs.maze.grids import ACTION_STRS
+    from lmrl_gym_tpu.text.frames import Text as _Text
+
+    def reranker_acc(state):
+        bundle = ValueRLParams(
+            pi_beta=None, base=state.base.params,
+            q1_head=state.q1_head.params, q2_head=state.q2_head.params,
+            v_head=state.v_head.params,
+        )
+        score = make_ilql_score_fn(core, q_head, v_head, bundle, tokenizer.pad_token_id)
+
+        def proposal_fn(history):
+            return [history + (_Text(a, True),) for a in ACTION_STRS]
+
+        def score_batch(histories):
+            ids, am = tokenize_histories_for_scoring(histories, tokenizer, MAX_LEN)
+            return np.asarray(score(ids, am))
+
+        policy = ReRankerPolicy(proposal_fn=proposal_fn, score_batch=score_batch)
+        acc, _ = per_cell_optimal_move_accuracy(lambda hs: policy.act(hs), maze, GOAL)
+        return acc
+
     curve = [dict(epoch=0, acc=bc_acc, kind="bc")]
     for epoch in range(1, args.ilql_epochs + 1):
         t0 = time.time()
@@ -263,9 +293,10 @@ def main(argv=None):
             )
         if epoch % args.eval_every == 0 or epoch == args.ilql_epochs:
             acc, _ = per_cell_optimal_move_accuracy(guided_act_fn(state), maze, GOAL)
-            curve.append(dict(epoch=epoch, acc=acc, kind="ilql_guided"))
+            racc = reranker_acc(state)
+            curve.append(dict(epoch=epoch, acc=acc, rerank_acc=racc, kind="ilql_guided"))
             print(f"epoch {epoch:3d}: loss {float(loss):8.3f} "
-                  f"guided acc {acc:.3f}  ({time.time()-t0:.0f}s)")
+                  f"guided acc {acc:.3f}  rerank acc {racc:.3f}  ({time.time()-t0:.0f}s)")
 
     result = dict(bc_acc=bc_acc, curve=curve)
     print(json.dumps(result))
