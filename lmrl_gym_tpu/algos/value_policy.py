@@ -334,28 +334,32 @@ def make_ilql_score_fn(
     logit_weight: Optional[float] = None,
 ):
     """score = Σ_action value_weight·(min(Q1,Q2)−V) + logit_weight·logπ_β
-    (ilql/gpt2/score_fn.py:11-68)."""
+    (ilql/gpt2/score_fn.py:11-68).
+
+    Params are jit ARGUMENTS, not closure captures: captured params embed
+    as HLO constants, and at GPT-2-small scale (~1.6GB of weights) that
+    blows the remote-compile request size limit (HTTP 413)."""
 
     @jax.jit
-    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+    def _score(p: ValueRLParams, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
         attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
-        _, hidden = core.forward(params.base, input_ids, attention_mask, position_ids)
+        _, hidden = core.forward(p.base, input_ids, attention_mask, position_ids)
         nxt = input_ids[:, 1:][..., None]
         q1 = jnp.take_along_axis(
-            q_head.apply({"params": params.q1_head}, hidden)[:, :-1], nxt, axis=2
+            q_head.apply({"params": p.q1_head}, hidden)[:, :-1], nxt, axis=2
         ).squeeze(2)
-        if params.q2_head is not None:
+        if p.q2_head is not None:
             q2 = jnp.take_along_axis(
-                q_head.apply({"params": params.q2_head}, hidden)[:, :-1], nxt, axis=2
+                q_head.apply({"params": p.q2_head}, hidden)[:, :-1], nxt, axis=2
             ).squeeze(2)
             q = jnp.minimum(q1, q2)
         else:
             q = q1
-        v = v_head.apply({"params": params.v_head}, hidden)[:, :-1].squeeze(2)
+        v = v_head.apply({"params": p.v_head}, hidden)[:, :-1].squeeze(2)
         total = value_weight * (q - v)
-        if logit_weight is not None and params.pi_beta is not None:
+        if logit_weight is not None and p.pi_beta is not None:
             logits, _ = core.forward(
-                params.pi_beta, input_ids, attention_mask, position_ids
+                p.pi_beta, input_ids, attention_mask, position_ids
             )
             logprobs = jax.nn.log_softmax(
                 mask_pad_logits(logits[:, :-1].astype(jnp.float32), core.config.vocab_size),
@@ -366,6 +370,9 @@ def make_ilql_score_fn(
         return score_action_tokens(
             total, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
         )
+
+    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+        return _score(params, input_ids, action_mask)
 
     return score
 
@@ -379,16 +386,19 @@ def make_mc_score_fn(
     """score = Σ_action Q (mc_returns/score_fn.py:10-60)."""
 
     @jax.jit
-    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+    def _score(p: ValueRLParams, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
         attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
-        _, hidden = core.forward(params.base, input_ids, attention_mask, position_ids)
+        _, hidden = core.forward(p.base, input_ids, attention_mask, position_ids)
         nxt = input_ids[:, 1:][..., None]
         q = jnp.take_along_axis(
-            q_head.apply({"params": params.q1_head}, hidden)[:, :-1], nxt, axis=2
+            q_head.apply({"params": p.q1_head}, hidden)[:, :-1], nxt, axis=2
         ).squeeze(2)
         return score_action_tokens(
             q, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
         )
+
+    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+        return _score(params, input_ids, action_mask)
 
     return score
 
@@ -397,9 +407,9 @@ def make_logprob_score_fn(core: LMCore, params, pad_token_id: int):
     """score = Σ_action logπ (BC/PPO reranker, ppo/score_fn.py:10-126)."""
 
     @jax.jit
-    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+    def _score(p, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
         attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
-        logits, _ = core.forward(params, input_ids, attention_mask, position_ids)
+        logits, _ = core.forward(p, input_ids, attention_mask, position_ids)
         logprobs = jax.nn.log_softmax(
             mask_pad_logits(logits[:, :-1].astype(jnp.float32), core.config.vocab_size),
             axis=-1,
@@ -410,6 +420,9 @@ def make_logprob_score_fn(core: LMCore, params, pad_token_id: int):
         return score_action_tokens(
             logpi, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
         )
+
+    def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+        return _score(params, input_ids, action_mask)
 
     return score
 
