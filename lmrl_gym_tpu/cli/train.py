@@ -98,6 +98,12 @@ MODEL_SIZES = {
     ),
     "gpt2-small": lambda: gpt2_small().replace(vocab_size=259, pad_vocab_to_multiple=64),
     "gpt2-medium": lambda: gpt2_medium().replace(vocab_size=259, pad_vocab_to_multiple=64),
+    # the REFERENCE operating point: full 50,257-token vocabulary
+    # (every reference script fine-tunes HF gpt2 at this vocab). Pair
+    # with --tokenizer bpe; the task BPE populates the low id range and
+    # the model carries the real embedding/softmax cost.
+    "gpt2-small-real": lambda: gpt2_small(),
+    "gpt2-medium-real": lambda: gpt2_medium(),
 }
 
 

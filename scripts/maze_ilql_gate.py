@@ -50,6 +50,7 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=2)
     p.add_argument("--bsize", type=int, default=32)
     p.add_argument("--beta", type=float, default=8.0)
+    p.add_argument("--polyak", type=float, default=0.005)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--out", type=str, default=None)
@@ -209,7 +210,9 @@ def main(argv=None):
         output_dim=1, layer2_initializer_range=0.0,
     )
     q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
-    ilql_config = ILQLConfig(use_separate_target_base=True)
+    ilql_config = ILQLConfig(
+        use_separate_target_base=True, polyak_alpha=args.polyak
+    )
     state = init_ilql_state(
         jax.tree.map(jnp.array, bc_params),
         init_head_params(q_head, config.hidden_size, ks[0]),
