@@ -48,6 +48,13 @@ class ILQLConfig:
     detach_q1: bool = False
     detach_q2: bool = False
     detach_v: bool = False
+    # train heads on a STOP-GRADIENT view of the trunk features (base
+    # receives zero gradient; pair with a zero/no-op base optimizer).
+    # Stabilizer for high-capacity trunks: Bellman noise backpropagating
+    # into a shared 124M-param trunk drives Q/V/target oscillation
+    # (measured on the GPT-2-small maze gate, PERF_NOTES r4); frozen
+    # features keep the fixed-point iteration on the heads only.
+    freeze_base: bool = False
 
     def to_dict(self) -> dict:
         import dataclasses
@@ -128,6 +135,8 @@ def ilql_forward(
     _, hidden = core.forward(
         base_params, input_ids, attention_mask, position_ids, train=train, rng=split()
     )
+    if config.freeze_base:
+        hidden = jax.lax.stop_gradient(hidden)
     if target_base_params is not None:
         _, target_hidden = core.forward(
             target_base_params, input_ids, attention_mask, position_ids,

@@ -51,6 +51,13 @@ def main(argv=None):
     p.add_argument("--bsize", type=int, default=32)
     p.add_argument("--beta", type=float, default=8.0)
     p.add_argument("--polyak", type=float, default=0.005)
+    p.add_argument(
+        "--freeze-base", action="store_true",
+        help="heads-only ILQL on stop-gradient trunk features "
+        "(ILQLConfig.freeze_base): the stable configuration for "
+        "high-capacity trunks; equivalent to the reference recipe with "
+        "base lr -> 0",
+    )
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--out", type=str, default=None)
@@ -211,14 +218,19 @@ def main(argv=None):
     )
     q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
     ilql_config = ILQLConfig(
-        use_separate_target_base=True, polyak_alpha=args.polyak
+        use_separate_target_base=not args.freeze_base,
+        polyak_alpha=args.polyak,
+        freeze_base=args.freeze_base,
+    )
+    base_tx = (
+        optax.set_to_zero() if args.freeze_base else optax.adamw(args.lr * 0.3)
     )
     state = init_ilql_state(
         jax.tree.map(jnp.array, bc_params),
         init_head_params(q_head, config.hidden_size, ks[0]),
         init_head_params(q_head, config.hidden_size, ks[1]),
         init_head_params(v_head, config.hidden_size, ks[2]),
-        optax.adamw(args.lr * 0.3), optax.adamw(args.lr),
+        base_tx, optax.adamw(args.lr),
         ilql_config,
     )
     ilql_step = make_ilql_train_step(

@@ -172,6 +172,47 @@ def _ilql_batch(b=4, t=12):
 
 
 class TestILQLStep:
+    def test_freeze_base_trains_heads_only(self):
+        """freeze_base: heads learn, trunk params bit-identical after
+        steps (the r4 stabilizer for high-capacity trunks)."""
+        base_params = init_params(CFG, KEY)
+        head_cfg = MLPHeadConfig(
+            input_dim=CFG.hidden_size, hidden_dim=2 * CFG.hidden_size,
+            output_dim=CFG.padded_vocab_size, layer2_initializer_range=0.0,
+        )
+        v_cfg = MLPHeadConfig(
+            input_dim=CFG.hidden_size, hidden_dim=2 * CFG.hidden_size,
+            output_dim=1, layer2_initializer_range=0.0,
+        )
+        q_head, v_head = MLPHead(head_cfg), MLPHead(v_cfg)
+        ks = jax.random.split(KEY, 4)
+        config = ILQLConfig(
+            polyak_alpha=0.1, freeze_base=True, use_separate_target_base=False
+        )
+        state = init_ilql_state(
+            base_params,
+            init_head_params(q_head, CFG.hidden_size, ks[0]),
+            init_head_params(q_head, CFG.hidden_size, ks[1]),
+            init_head_params(v_head, CFG.hidden_size, ks[2]),
+            optax.set_to_zero(),
+            optax.adam(1e-3),
+            config,
+        )
+        core = LMCore(CFG)
+        step = make_ilql_train_step(core, q_head, v_head, config, TOK.pad_token_id)
+        base_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.base.params)
+        q1_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.q1_head.params)
+        batch = _ilql_batch()
+        for i in range(3):
+            state, loss, _ = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(loss))
+        for a, b in zip(jax.tree.leaves(base_before), jax.tree.leaves(state.base.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(q1_before), jax.tree.leaves(state.q1_head.params))
+        )
+
     def test_loss_decreases(self):
         state, step, *_ = _ilql_setup()
         batch = _ilql_batch()
