@@ -50,7 +50,16 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=2)
     p.add_argument("--bsize", type=int, default=32)
     p.add_argument("--beta", type=float, default=8.0)
+    p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--polyak", type=float, default=0.005)
+    p.add_argument(
+        "--value-bias-init", type=float, default=0.0,
+        help="last-layer bias init of the Q/V heads. Starting values near "
+        "the typical return kills the slow descent transient (zero-init "
+        "heads at gamma=0.99 spend 30+ epochs sinking to ~-20 while the "
+        "action ranking sloshes; cf. the reference's bias_init=-4.1 "
+        "wordle value head, wordle/ppo/train_ppo_gpt2.py:254-259)",
+    )
     p.add_argument(
         "--freeze-base", action="store_true",
         help="heads-only ILQL on stop-gradient trunk features "
@@ -211,16 +220,19 @@ def main(argv=None):
     q_cfg = MLPHeadConfig(
         input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
         output_dim=config.padded_vocab_size, layer2_initializer_range=0.0,
+        layer2_bias_init=args.value_bias_init,
     )
     v_cfg = MLPHeadConfig(
         input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
         output_dim=1, layer2_initializer_range=0.0,
+        layer2_bias_init=args.value_bias_init,
     )
     q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
     ilql_config = ILQLConfig(
         use_separate_target_base=not args.freeze_base,
         polyak_alpha=args.polyak,
         freeze_base=args.freeze_base,
+        gamma=args.gamma,
     )
     base_tx = (
         optax.set_to_zero() if args.freeze_base else optax.adamw(args.lr * 0.3)
@@ -290,11 +302,12 @@ def main(argv=None):
         return acc
 
     curve = [dict(epoch=0, acc=bc_acc, kind="bc")]
+    _last_logs = None
     for epoch in range(1, args.ilql_epochs + 1):
         t0 = time.time()
         for b in dataset.batches(args.bsize, rng=rng, drop_last=False):
             key, sk = jax.random.split(key)
-            state, loss, _ = ilql_step(
+            state, loss, _last_logs = ilql_step(
                 state,
                 ILQLBatch(
                     input_ids=jnp.asarray(b["input_ids"]),
@@ -309,8 +322,13 @@ def main(argv=None):
         if epoch % args.eval_every == 0 or epoch == args.ilql_epochs:
             acc, _ = per_cell_optimal_move_accuracy(guided_act_fn(state), maze, GOAL)
             racc = reranker_acc(state)
+            ll = jax.tree.map(float, _last_logs["losses"])
+            qm = float(_last_logs["q1"]["mean"]) if "q1" in _last_logs else float("nan")
+            vm = float(_last_logs["v"]["mean"]) if "v" in _last_logs else float("nan")
             curve.append(dict(epoch=epoch, acc=acc, rerank_acc=racc, kind="ilql_guided"))
             print(f"epoch {epoch:3d}: loss {float(loss):8.3f} "
+                  f"[q1 {ll['q1_loss']:.3f} v {ll['v_loss']:.3f} "
+                  f"cql {ll['q1_cql_loss']:.3f}] q~{qm:.2f} v~{vm:.2f} "
                   f"guided acc {acc:.3f}  rerank acc {racc:.3f}  ({time.time()-t0:.0f}s)")
 
     result = dict(bc_acc=bc_acc, curve=curve)
