@@ -96,8 +96,13 @@ def main(argv=None):
     p.add_argument("--eval-pool", type=int, default=256)
     p.add_argument("--bc-batches", type=int, default=1500)
     p.add_argument("--bc-bsize", type=int, default=64)
-    p.add_argument("--ilql-batches", type=int, default=600)
+    p.add_argument("--ilql-batches", type=int, default=8000)
     p.add_argument("--ilql-bsize", type=int, default=512)
+    p.add_argument("--eval-every", type=int, default=2000)
+    p.add_argument(
+        "--freeze-base", action="store_true",
+        help="heads-only ILQL on the frozen BC trunk (see maze gate)",
+    )
     p.add_argument("--beta", type=float, default=4.0)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=11)
@@ -187,13 +192,19 @@ def main(argv=None):
     )
     q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
-    ilql_config = ILQLConfig(use_separate_target_base=False, beta=args.beta)
+    ilql_config = ILQLConfig(
+        use_separate_target_base=False, beta=args.beta,
+        freeze_base=args.freeze_base,
+    )
+    base_tx = (
+        optax.set_to_zero() if args.freeze_base else optax.adamw(args.lr * 0.3)
+    )
     state = init_ilql_state(
         jax.tree.map(jnp.array, bc_state.model.params),
         init_head_params(q_head, config.hidden_size, ks[0]),
         init_head_params(q_head, config.hidden_size, ks[1]),
         init_head_params(v_head, config.hidden_size, ks[2]),
-        optax.adamw(args.lr * 0.3), optax.adamw(args.lr), ilql_config,
+        base_tx, optax.adamw(args.lr), ilql_config,
     )
     ilql_step = make_ilql_train_step(
         core, q_head, v_head, ilql_config, pad_token_id=256
@@ -220,23 +231,7 @@ def main(argv=None):
         rewards = jnp.zeros((Bi, W - 1)).at[:, W - 2].set(stepped.reward)
         return windows, rewards
 
-    t0 = time.time()
-    for i in range(args.ilql_batches):
-        key, bk_, sk = jax.random.split(key, 3)
-        windows, rewards = make_behavior_batch(bk_)
-        batch = ILQLBatch(
-            input_ids=windows,
-            should_take_action=sta_j,
-            rewards=rewards,
-            dones=jnp.ones((Bi,), bool),
-            next_token_ids=None,
-            next_dones=None,
-        )
-        state, loss, _ = ilql_step(state, batch, sk)
-    print(f"ILQL: {args.ilql_batches} offline batches, loss "
-          f"{float(loss):.3f} ({time.time()-t0:.0f}s)")
-
-    # ---- stage 3: held-out eval
+    # ---- stage 3 eval helpers (used periodically during training too)
     def random_baseline(pool, n):
         key_ = jax.random.PRNGKey(99)
         k1, k2 = jax.random.split(key_)
@@ -296,6 +291,29 @@ def main(argv=None):
               f"({len(rows)} candidate moves)")
         return rate
 
+    # ---- training loop with periodic held-out reranker eval
+    t0 = time.time()
+    curve = []
+    for i in range(args.ilql_batches):
+        key, bk_, sk = jax.random.split(key, 3)
+        windows, rewards = make_behavior_batch(bk_)
+        batch = ILQLBatch(
+            input_ids=windows,
+            should_take_action=sta_j,
+            rewards=rewards,
+            dones=jnp.ones((Bi,), bool),
+            next_token_ids=None,
+            next_dones=None,
+        )
+        state, loss, _ = ilql_step(state, batch, sk)
+        if (i + 1) % args.eval_every == 0:
+            r = rerank_mate_rate(
+                state, eval_pool, f"[batch {i+1}] held-out"
+            )
+            curve.append(dict(batch=i + 1, rerank=r, loss=float(loss)))
+    print(f"ILQL: {args.ilql_batches} offline batches, loss "
+          f"{float(loss):.3f} ({time.time()-t0:.0f}s)")
+
     rerank_rate = rerank_mate_rate(state, eval_pool, "ILQL values (held-out)")
     rerank_rate_train = rerank_mate_rate(
         state, pool_slice(train_pool, 0, args.eval_pool), "ILQL values (train)"
@@ -327,6 +345,7 @@ def main(argv=None):
         rerank_rate_train=rerank_rate_train,
         guided_rate=guided_rate,
         guided_illegal=guided_ill,
+        curve=curve,
     )
     print(json.dumps(result))
     if args.out:
