@@ -49,6 +49,12 @@ def main(argv=None):
     p.add_argument("--ilql-epochs", type=int, default=12)
     p.add_argument("--eval-every", type=int, default=2)
     p.add_argument("--bsize", type=int, default=32)
+    p.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="optax.MultiSteps on the head optimizer: effective batch "
+        "bsize*accum without the head-logits memory (B=64 already OOMs "
+        "the 16GB chip at vocab 50257); polyak is accum-gated already",
+    )
     p.add_argument("--beta", type=float, default=8.0)
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--polyak", type=float, default=0.005)
@@ -237,12 +243,17 @@ def main(argv=None):
     base_tx = (
         optax.set_to_zero() if args.freeze_base else optax.adamw(args.lr * 0.3)
     )
+    head_tx = optax.adamw(args.lr)
+    if args.grad_accum > 1:
+        head_tx = optax.MultiSteps(head_tx, every_k_schedule=args.grad_accum)
+        if not args.freeze_base:
+            base_tx = optax.MultiSteps(base_tx, every_k_schedule=args.grad_accum)
     state = init_ilql_state(
         jax.tree.map(jnp.array, bc_params),
         init_head_params(q_head, config.hidden_size, ks[0]),
         init_head_params(q_head, config.hidden_size, ks[1]),
         init_head_params(v_head, config.hidden_size, ks[2]),
-        base_tx, optax.adamw(args.lr),
+        base_tx, head_tx,
         ilql_config,
     )
     ilql_step = make_ilql_train_step(
