@@ -49,15 +49,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def first_mate_move(fen):
+    """The first mating SAN for a mate-in-1 position, else None."""
+    from lmrl_gym_tpu.envs.chess.engine import CHECKMATE, Board
+
+    b = Board(fen)
+    for m in b.legal_moves_san():
+        c = Board(fen)
+        c.push_san(m)
+        if c.game_state() == CHECKMATE:
+            return m
+    return None
+
+
+def san_to_kernel_action(san):
+    """'Qd5#' → (is_king, dst) in the kernel's action encoding (KQK has
+    no captures/disambiguation, so SAN is piece letter + square)."""
+    s = san.rstrip("#+")
+    is_king = s[0] == "K"
+    file_c, rank_c = s[-2], s[-1]
+    dst = (ord(rank_c) - ord("1")) * 8 + (ord(file_c) - ord("a"))
+    return is_king, dst
+
+
 def sample_mate_in_1_states(env, key, batch):
     """Kernel-sampled positions filtered to mate-in-1 by the native
-    engine (host-side classify; the episodes themselves stay on device)."""
+    engine (host-side classify; the episodes themselves stay on device).
+    Also returns each position's first mating move in kernel encoding
+    (for the behavior curriculum)."""
     from lmrl_gym_tpu.envs.chess.vector import ChessVecState
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from chess_anchor import is_mate_in_1
 
-    cols = {k: [] for k in ("wk", "pc", "bk")}
+    cols = {k: [] for k in ("wk", "pc", "bk", "mk", "md")}
     PROBE = 512  # fixed size: one compiled reset/fen program, many draws
     while len(cols["wk"]) < batch:
         key, rk = jax.random.split(key)
@@ -67,12 +91,16 @@ def sample_mate_in_1_states(env, key, batch):
         for i, f in enumerate(fens):
             if len(cols["wk"]) >= batch:
                 break
-            if is_mate_in_1(f):
+            san = first_mate_move(f)
+            if san is not None:
+                mk, md = san_to_kernel_action(san)
                 cols["wk"].append(int(wk[i]))
                 cols["pc"].append(int(pc[i]))
                 cols["bk"].append(int(bk[i]))
+                cols["mk"].append(mk)
+                cols["md"].append(md)
     z = lambda: jnp.zeros((batch,), jnp.int32)
-    return ChessVecState(
+    pool = ChessVecState(
         wk=jnp.asarray(cols["wk"], jnp.int32),
         pc=jnp.asarray(cols["pc"], jnp.int32),
         bk=jnp.asarray(cols["bk"], jnp.int32),
@@ -81,6 +109,8 @@ def sample_mate_in_1_states(env, key, batch):
         reward=jnp.zeros((batch,), jnp.float32),
         illegal=jnp.zeros((batch,), bool),
     )
+    mate = (jnp.asarray(cols["mk"], bool), jnp.asarray(cols["md"], jnp.int32))
+    return pool, mate
 
 
 def pool_slice(pool, lo, hi):
@@ -99,6 +129,11 @@ def main(argv=None):
     p.add_argument("--ilql-batches", type=int, default=8000)
     p.add_argument("--ilql-bsize", type=int, default=512)
     p.add_argument("--eval-every", type=int, default=2000)
+    p.add_argument(
+        "--curriculum", type=float, default=0.3,
+        help="fraction of behavior actions that play the engine-"
+        "classified mating move (0 = pure uniform-legal)",
+    )
     p.add_argument(
         "--freeze-base", action="store_true",
         help="heads-only ILQL on the frozen BC trunk (see maze gate)",
@@ -142,10 +177,12 @@ def main(argv=None):
     W = inner.OBS_LEN + inner.ACT_LEN
     t0 = time.time()
     key, pk = jax.random.split(key)
-    full_pool = sample_mate_in_1_states(
+    full_pool, (mate_k, mate_d) = sample_mate_in_1_states(
         inner, pk, args.train_pool + args.eval_pool
     )
     train_pool = pool_slice(full_pool, 0, args.train_pool)
+    train_mate_k = mate_k[: args.train_pool]
+    train_mate_d = mate_d[: args.train_pool]
     eval_pool = pool_slice(full_pool, args.train_pool, args.train_pool + args.eval_pool)
     print(f"pools: {args.train_pool} train / {args.eval_pool} HELD-OUT "
           f"mate-in-1 positions ({time.time()-t0:.0f}s)")
@@ -219,13 +256,20 @@ def main(argv=None):
     @jax.jit
     def make_behavior_batch(key):
         """One on-device batch: sample train-pool positions, play a
-        uniform-legal move, record the kernel's reward on the action's
-        last token — single-window episodes, done=True (no bootstrap)."""
-        ki, ka, ks_ = jax.random.split(key, 3)
+        uniform-legal move — or, with prob --curriculum, the engine-
+        classified mating move (denser +1 signal, the VERDICT's
+        'curriculum from mate-in-1-rich behavior data') — and record the
+        kernel's reward on the action's last token. Single-window
+        episodes, done=True (no bootstrap)."""
+        ki, ka, kc, ks_ = jax.random.split(key, 4)
         idx = jax.random.randint(ki, (Bi,), 0, n_train)
         st = jax.tree.map(lambda x: x[idx], train_pool)
         obs = inner.obs_tokens(st)
         act = inner.random_legal_action(st, ka)
+        if args.curriculum > 0:
+            mate_act = inner.render_san(train_mate_k[idx], train_mate_d[idx])
+            use_mate = jax.random.bernoulli(kc, args.curriculum, (Bi,))
+            act = jnp.where(use_mate[:, None], mate_act, act)
         stepped = inner.step(st, act, ks_)
         windows = jnp.concatenate([obs, act], axis=1)
         rewards = jnp.zeros((Bi, W - 1)).at[:, W - 2].set(stepped.reward)
