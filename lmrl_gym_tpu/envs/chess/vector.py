@@ -127,12 +127,26 @@ class ChessEndgameVectorEnv:
     OBS_LEN = OBS_LEN
     ACT_LEN = ACT_LEN
 
-    def __init__(self, piece: str = "Q", max_steps: int = 50):
+    def __init__(self, piece: str = "Q", max_steps: int = 50,
+                 obs_mode: str = "fen"):
+        """obs_mode: 'fen' — the reference protocol, FEN spelled
+        char-by-char (chess/env/env.py:13-26); 'grid' — an 8x8 board
+        rendering ('.', 'K', 'Q'/'R', 'k' per square, rank 8 first, one
+        rank per line). The grid exists because the reference's policy
+        reads FEN with PRETRAINED GPT-2 weights; a from-scratch small
+        trunk must internally reconstruct board geometry from FEN
+        run-length strings, which measurably caps value learning (r4
+        chess gate, PERF_NOTES). Square<->token-position correspondence
+        makes the geometry positionally local."""
         assert piece in ("Q", "R")
+        assert obs_mode in ("fen", "grid")
         self.piece = piece
         self.piece_byte = ord(piece)
         self.aligned = Q_ALIGNED if piece == "Q" else R_ALIGNED
         self.max_steps = max_steps
+        self.obs_mode = obs_mode
+        if obs_mode == "grid":
+            self.OBS_LEN = 8 * 9  # 8 squares + '\n' per rank, 8 ranks
 
     # ------------------------------------------------------------ reset
 
@@ -294,8 +308,11 @@ class ChessEndgameVectorEnv:
 
     @partial(jax.jit, static_argnums=(0,))
     def obs_tokens(self, state: ChessVecState) -> jax.Array:
-        """[B, OBS_LEN] int32: the position FEN spelled char-by-char with
-        space separators (host preprocess_state), space-padded, '\n' last."""
+        """[B, OBS_LEN] int32. 'fen': FEN spelled char-by-char with space
+        separators (host preprocess_state), space-padded, '\n' last.
+        'grid': 72 tokens — squares a8..h8\\n ... a1..h1\\n."""
+        if self.obs_mode == "grid":
+            return self._grid_tokens(state)
         chars, length = self._fen_chars(state)
         B = chars.shape[0]
         out = jnp.full((B, OBS_LEN), _SP, jnp.int32)
@@ -304,6 +321,23 @@ class ChessEndgameVectorEnv:
             jnp.where(idx < length[:, None], chars, _SP)
         )
         return out.at[:, OBS_LEN - 1].set(_NL)
+
+    def _grid_tokens(self, state: ChessVecState) -> jax.Array:
+        B = state.wk.shape[0]
+        board = jnp.full((B, 64), ord("."), jnp.int32)
+        rows = jnp.arange(B)
+        board = board.at[rows, state.wk].set(ord("K"))
+        # pc == -1 once captured: write a no-op value at a clamped index
+        pc_safe = jnp.clip(state.pc, 0, 63)
+        board = board.at[rows, pc_safe].set(
+            jnp.where(state.pc >= 0, self.piece_byte, board[rows, pc_safe])
+        )
+        board = board.at[rows, state.bk].set(ord("k"))
+        # square index = rank*8+file; render rank 8 (index 56..63) first
+        grid = board.reshape(B, 8, 8)[:, ::-1, :]
+        out = jnp.full((B, 8, 9), _NL, jnp.int32)
+        out = out.at[:, :, :8].set(grid)
+        return out.reshape(B, 72)
 
     def _fen_chars(self, state: ChessVecState) -> Tuple[jax.Array, jax.Array]:
         """([B, FEN_MAX] char codes, [B] length): run-length-encoded board

@@ -135,6 +135,13 @@ def main(argv=None):
         "classified mating move (0 = pure uniform-legal)",
     )
     p.add_argument(
+        "--obs", choices=["fen", "grid"], default="fen",
+        help="observation rendering: 'fen' = reference protocol "
+        "(spelled FEN); 'grid' = 8x8 board tokens — the FEN encoding a "
+        "from-scratch small trunk can read (the reference policy reads "
+        "FEN with PRETRAINED GPT-2, unobtainable here; see vector.py)",
+    )
+    p.add_argument(
         "--freeze-base", action="store_true",
         help="heads-only ILQL on the frozen BC trunk (see maze gate)",
     )
@@ -173,7 +180,7 @@ def main(argv=None):
     from lmrl_gym_tpu.models.transformer import init_params
 
     key = jax.random.PRNGKey(args.seed)
-    inner = ChessEndgameVectorEnv(max_steps=1)
+    inner = ChessEndgameVectorEnv(max_steps=1, obs_mode=args.obs)
     W = inner.OBS_LEN + inner.ACT_LEN
     t0 = time.time()
     key, pk = jax.random.split(key)

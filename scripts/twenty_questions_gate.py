@@ -137,13 +137,13 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--oracle-episodes", type=int, default=200)
     p.add_argument("--oracle-epochs", type=int, default=4)
-    p.add_argument("--behavior-episodes", type=int, default=300)
+    p.add_argument("--behavior-episodes", type=int, default=400)
     p.add_argument("--p-good", type=float, default=0.5)
     p.add_argument("--filter-frac", type=float, default=0.25)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--heads", type=int, default=4)
-    p.add_argument("--bc-epochs", type=int, default=3)
+    p.add_argument("--bc-epochs", type=int, default=60)
     p.add_argument("--bsize", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--max-len", type=int, default=768)

@@ -267,3 +267,33 @@ def test_batched_episodes_terminate():
         if bool(state.done.all()):
             break
     assert bool(state.done.all())
+
+
+def test_grid_obs_matches_fen_board():
+    """obs_mode='grid' renders the same board the FEN describes, with
+    square<->token-position correspondence (rank 8 first, 9 tokens/rank)."""
+    import jax
+    import numpy as np
+
+    from lmrl_gym_tpu.envs.chess.vector import ChessEndgameVectorEnv
+
+    env = ChessEndgameVectorEnv(max_steps=4, obs_mode="grid")
+    fen_env = ChessEndgameVectorEnv(max_steps=4, obs_mode="fen")
+    assert env.OBS_LEN == 72
+    state = env.reset(jax.random.PRNGKey(3), 16)
+    obs = np.asarray(env.obs_tokens(state))
+    fens = fen_env.fen_strings(state)
+    for b in range(16):
+        grid = obs[b].reshape(8, 9)
+        assert (grid[:, 8] == 10).all()  # newline per rank
+        # expand the FEN board field into 64 chars
+        board_field = fens[b].split()[0]
+        chars = []
+        for row in board_field.split("/"):
+            for c in row:
+                if c.isdigit():
+                    chars.extend(["."] * int(c))
+                else:
+                    chars.append(c)
+        want = np.asarray([ord(c) for c in chars]).reshape(8, 8)
+        np.testing.assert_array_equal(grid[:, :8], want)
