@@ -239,7 +239,7 @@ def main(argv=None):
         policy = GenerationPolicy(
             generate_batch=generate_batch, key=jax.random.PRNGKey(args.seed)
         )
-        _, summary = text_env_eval(
+        inter, summary = text_env_eval(
             lm_env, policy, n_rollouts=args.eval_rollouts,
             seed_generator=iter(range(10_000, 10_000 + args.eval_rollouts)),
             bsize=args.eval_bsize,
@@ -248,6 +248,10 @@ def main(argv=None):
               f"done {summary['done']['mean']:.2f} "
               f"len {summary['length']['mean']:.1f} "
               f"({time.time()-t_start:.0f}s)")
+        hist = inter[0][-1].post_transition_history
+        print(f"--- {name} sample transcript (first rollout) ---")
+        for t in hist[:17]:
+            print(("A> " if t.is_action else "S> ") + repr(t.text[:90]))
         return summary
 
     bc_summary = eval_policy(bc_params, "BC(all)")
