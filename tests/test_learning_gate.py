@@ -413,3 +413,43 @@ def test_ppo_learning_gate():
     kls = [r["mean_kl"] for r in result["kl_trace"]]
     assert all(np.isfinite(k) for k in kls)
     assert abs(kls[0]) < 1e-3  # round 0 refresh: policy == π₀
+
+
+@pytest.mark.slow
+def test_chess_mate_in_1_gate():
+    """BASELINE config #4 gate (round-3 VERDICT item 2): ILQL on the jnp
+    chess-endgame kernel must rank mating moves on HELD-OUT mate-in-1
+    positions far above the random-legal baseline. Full-scale recorded
+    run (GATE_CHESS_MATE_r04.json, d256 L4 grid obs, 12k batches on the
+    chip): held-out reranker mate rate 0.82 vs 0.074 random. This test
+    runs a budget-scaled variant; thresholds tighten on TPU where the
+    full-size run fits.
+    """
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "scripts"))
+    from chess_ilql_gate import main as chess_gate_main
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        args = [
+            "--train-pool", "512", "--eval-pool", "128",
+            "--bc-batches", "800", "--ilql-batches", "6000",
+            "--eval-every", "6000", "--obs", "grid",
+        ]
+    else:
+        args = [
+            "--train-pool", "96", "--eval-pool", "32",
+            "--hidden", "128", "--layers", "2", "--heads", "4",
+            "--bc-batches", "150", "--bc-bsize", "32",
+            "--ilql-batches", "400", "--ilql-bsize", "128",
+            "--eval-every", "400", "--obs", "grid",
+        ]
+    result = chess_gate_main(args)
+    assert np.isfinite(result["rerank_rate"])
+    if on_tpu:
+        assert result["rerank_rate"] >= 0.5, result
+        assert result["rerank_rate"] >= result["random_rate"] * 3, result
+    else:
+        # CPU-budget variant: the values must still beat random held-out
+        assert result["rerank_rate"] >= result["random_rate"], result
