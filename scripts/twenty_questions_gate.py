@@ -147,6 +147,15 @@ def main(argv=None):
     p.add_argument("--bsize", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--max-len", type=int, default=768)
+    p.add_argument(
+        "--tokenizer", choices=["byte", "bpe"], default="bpe",
+        help="bpe (default): task-trained BPE - object names become 1-2 "
+        "tokens, like the reference's GPT-2 BPE. byte-level measurably "
+        "fails here: the policy memorizes the 17 category templates but "
+        "garbles the 158 long-tail object names ('Is it jel "
+        "offfffituply?'), so no episode can ever name the target",
+    )
+    p.add_argument("--bpe-vocab", type=int, default=2048)
     p.add_argument("--eval-rollouts", type=int, default=32)
     p.add_argument("--eval-bsize", type=int, default=16)
     p.add_argument("--seed", type=int, default=7)
@@ -177,7 +186,19 @@ def main(argv=None):
     from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
 
     t_start = time.time()
-    tokenizer = ByteTokenizer()
+    if args.tokenizer == "bpe":
+        from lmrl_gym_tpu.text.bpe import train_bpe_for_task
+
+        tokenizer = train_bpe_for_task(
+            "twenty_questions", vocab_size=args.bpe_vocab,
+            n_episodes=200, seed=0,
+        )
+        print(f"BPE tokenizer: vocab {tokenizer.vocab_size}")
+    else:
+        tokenizer = ByteTokenizer()
+    eos_id = (
+        tokenizer.newline_token_id if args.tokenizer == "bpe" else 10
+    )
 
     # ---- stage 1: LM oracle, trained in-repo, served batched
     print(f"oracle: {args.oracle_episodes} teacher episodes")
@@ -226,7 +247,7 @@ def main(argv=None):
     # ---- stage 4: eval both in the LM-oracle env, fixed seeds
     server = LMServer(core, tokenizer)
     sampling = SamplingConfig(
-        max_new_tokens=48, greedy=True, eos_token_id=10,
+        max_new_tokens=48, greedy=True, eos_token_id=eos_id,
         pad_token_id=tokenizer.pad_token_id,
     )
 
