@@ -60,6 +60,64 @@ from lmrl_gym_tpu.text.tokenizer import ByteTokenizer, newline_id
 # ---------------------------------------------------------------------------
 
 
+def collect_twenty_questions_qa_balanced(
+    n_neg_per_word: int = 4, seed: int = 0
+) -> List[TextTrajectory]:
+    """Balanced synthetic QA windows labeled by the scripted oracle: for
+    every word — its direct-mention question (Yes), its category
+    question (Yes), and sampled other-object / other-category questions
+    (No). Rollout-only QA measurably collapses the oracle to the
+    majority 'No.' class (the direct-mention Yes for any given word
+    appears ~once in hundreds of episodes); the reference likewise
+    finetunes its flan-t5-xl oracle on a curated QA dataset rather than
+    raw rollouts (twenty_questions/env/oracle.py:20-34 loads a finetuned
+    checkpoint)."""
+    from lmrl_gym_tpu.cli.tasks import HeuristicAskerPolicy
+    from lmrl_gym_tpu.envs.twenty_questions.data import get_default_word_list
+    from lmrl_gym_tpu.envs.twenty_questions.oracle import (
+        ScriptedOracle,
+        oracle_prompt,
+    )
+
+    rng = random.Random(seed)
+    words = get_default_word_list()
+    oracle = ScriptedOracle()
+    cat_questions = list(HeuristicAskerPolicy(rng).category_questions.values())
+
+    def question_for(word) -> str:
+        w = word.words[0].lower()
+        article = "an" if w[0] in "aeiou" else "a"
+        return f"Is it {article} {w}?"
+
+    windows: List[TextTrajectory] = []
+
+    def add(word, question):
+        answer = oracle.generate_answers(word, question)
+        windows.append(
+            TextTrajectory(
+                (
+                    Text(oracle_prompt(word, question), False),
+                    Text(answer + "\n", True),
+                ),
+                (0.0, 0.0),
+                True,
+            )
+        )
+
+    for word in words:
+        add(word, question_for(word))  # direct mention → Yes
+        for cq in cat_questions:  # its own category Yes + two others No
+            if oracle.generate_answers(word, cq) == "Yes.":
+                add(word, cq)
+        for cq in rng.sample(cat_questions, 2):
+            add(word, cq)
+        for _ in range(n_neg_per_word):  # other-object mentions → No
+            other = rng.choice(words)
+            add(word, question_for(other))
+    rng.shuffle(windows)
+    return windows
+
+
 def collect_twenty_questions_qa(n_episodes: int, seed: int) -> List[TextTrajectory]:
     """(oracle_prompt, Yes./No.) windows under the asker's question
     distribution (prompt text = reference oracle.py:21-28 verbatim)."""

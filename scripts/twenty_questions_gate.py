@@ -136,7 +136,9 @@ def collect_behavior(n_episodes, p_good, seed):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--oracle-episodes", type=int, default=200)
-    p.add_argument("--oracle-epochs", type=int, default=4)
+    p.add_argument("--oracle-epochs", type=int, default=10)
+    p.add_argument("--oracle-hidden", type=int, default=256)
+    p.add_argument("--oracle-layers", type=int, default=4)
     p.add_argument("--behavior-episodes", type=int, default=400)
     p.add_argument("--p-good", type=float, default=0.5)
     p.add_argument("--filter-frac", type=float, default=0.25)
@@ -200,13 +202,20 @@ def main(argv=None):
         tokenizer.newline_token_id if args.tokenizer == "bpe" else 10
     )
 
-    # ---- stage 1: LM oracle, trained in-repo, served batched
-    print(f"oracle: {args.oracle_episodes} teacher episodes")
+    # ---- stage 1: LM oracle, trained in-repo, served batched.
+    # Balanced synthetic QA + rollout QA: rollout-only data collapses the
+    # oracle to always-'No.' (majority class; measured — see
+    # collect_twenty_questions_qa_balanced docstring).
+    from lmrl_gym_tpu.envs.lm_oracle import collect_twenty_questions_qa_balanced
+
+    print(f"oracle: {args.oracle_episodes} teacher episodes + balanced QA")
     qa = collect_twenty_questions_qa(args.oracle_episodes, seed=args.seed)
+    qa += collect_twenty_questions_qa_balanced(seed=args.seed) * 3
     oracle_core, _, oracle_params, _ = train_oracle_lm(
         qa,
         OracleTrainConfig(
             n_episodes=args.oracle_episodes, epochs=args.oracle_epochs,
+            hidden_size=args.oracle_hidden, num_layers=args.oracle_layers,
             seed=args.seed,
         ),
         tokenizer=tokenizer,
@@ -214,6 +223,30 @@ def main(argv=None):
     lm_env = build_lm_twenty_questions_env(
         oracle_core, tokenizer, oracle_params, batched=True
     )
+
+    # oracle fidelity probe vs the scripted labeler (the gate's premise)
+    from lmrl_gym_tpu.envs.twenty_questions.data import get_default_word_list
+    from lmrl_gym_tpu.envs.twenty_questions.oracle import ScriptedOracle
+
+    probe_words = get_default_word_list()
+    rng0 = random.Random(123)
+    pw, pq = [], []
+    for _ in range(100):
+        w = rng0.choice(probe_words)
+        if rng0.random() < 0.5:
+            t = w.words[0].lower()
+        else:
+            t = rng0.choice(probe_words).words[0].lower()
+        article = "an" if t[0] in "aeiou" else "a"
+        pw.append(w)
+        pq.append(f"Is it {article} {t}?")
+    lm_ans = lm_env.oracle.generate_answers(pw, pq)
+    sc_ans = ScriptedOracle().generate_answers(pw, pq)
+    agree = sum(a == b for a, b in zip(lm_ans, sc_ans)) / len(pw)
+    yes_rate = sum(a == "Yes." for a in lm_ans) / len(pw)
+    print(f"oracle fidelity: {agree:.2f} agreement vs scripted "
+          f"(LM yes-rate {yes_rate:.2f}, scripted "
+          f"{sum(a == 'Yes.' for a in sc_ans) / len(pw):.2f})")
 
     # ---- stage 2: behavior data
     episodes = collect_behavior(args.behavior_episodes, args.p_good, args.seed)
