@@ -64,6 +64,14 @@ def main(argv=None):
     p.add_argument("--kl-weight", type=float, default=0.01)
     p.add_argument("--value-warmup-rounds", type=int, default=2)
     p.add_argument("--max-steps", type=int, default=30)
+    p.add_argument(
+        "--tokenizer", choices=["byte", "bpe"], default="bpe",
+        help="bpe (default): task BPE — multi-word commands become a few "
+        "robust tokens (byte-level BC at loss 0.009 still wins 0 "
+        "episodes: one sampled-char error invalidates a 20-char command, "
+        "and greedy deterministic walks loop in unknown rooms)",
+    )
+    p.add_argument("--bpe-vocab", type=int, default=1536)
     p.add_argument("--seed", type=int, default=13)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
@@ -115,7 +123,17 @@ def main(argv=None):
     from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
 
     MAX_LEN = 384  # first window = objective + room description, <=330 bytes
-    tokenizer = ByteTokenizer()
+    if args.tokenizer == "bpe":
+        from lmrl_gym_tpu.text.bpe import train_bpe_for_task
+
+        tokenizer = train_bpe_for_task(
+            "text_nav", vocab_size=args.bpe_vocab, n_episodes=150, seed=0
+        )
+        eos_id = tokenizer.newline_token_id
+        print(f"BPE tokenizer: vocab {tokenizer.vocab_size}")
+    else:
+        tokenizer = ByteTokenizer()
+        eos_id = 10
     config = TransformerConfig(
         vocab_size=tokenizer.vocab_size, hidden_size=args.hidden,
         num_layers=args.layers, num_heads=args.heads,
@@ -126,11 +144,11 @@ def main(argv=None):
     strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, MAX_LEN)
     server = LMServer(core, tokenizer)
     greedy_sampling = SamplingConfig(
-        max_new_tokens=36, greedy=True, eos_token_id=10,
+        max_new_tokens=36, greedy=True, eos_token_id=eos_id,
         pad_token_id=tokenizer.pad_token_id,
     )
     rollout_sampling = SamplingConfig(
-        max_new_tokens=36, greedy=False, temperature=1.0, eos_token_id=10,
+        max_new_tokens=36, greedy=False, temperature=1.0, eos_token_id=eos_id,
         pad_token_id=tokenizer.pad_token_id,
     )
 
@@ -161,7 +179,7 @@ def main(argv=None):
             ("greedy", greedy_sampling, jax.random.PRNGKey(0)),
         ):
             pol = make_policy(params, sampling, key)
-            _, summary = text_env_eval(
+            inter, summary = text_env_eval(
                 fresh_env(), pol, n_rollouts=args.eval_rollouts,
                 seed_generator=iter(range(5000, 5000 + args.eval_rollouts)),
                 bsize=16,
@@ -169,6 +187,10 @@ def main(argv=None):
             out[name] = summary["reward"]["mean"]
             print(f"{tag}: {name} return {out[name]:.3f} "
                   f"(len {summary['length']['mean']:.1f})")
+            if name == "sampled":
+                hist = inter[0][-1].post_transition_history
+                acts = [t.text for t in hist if t.is_action][:8]
+                print(f"  sample actions: {acts}")
         return out["sampled"], out["greedy"]
 
     # ---- stage 1: BC on partial-walkthrough data from the partial env
