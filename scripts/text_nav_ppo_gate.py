@@ -156,11 +156,34 @@ def main(argv=None):
         return TextNavEnv(display_location=False, max_steps=args.max_steps)
 
     def make_policy(params, sampling, key):
-        def generate_batch(prompts, step_key):
-            outs = server.generate_from_strs(params, prompts, MAX_LEN, sampling, step_key)
-            return [p + o for p, o in zip(prompts, outs)]
+        """Markov serving: prompt = the LATEST observation only, matching
+        the per-step (obs, action) training windows. (Serving the whole
+        conversation against Markov-trained windows measurably
+        degenerates into action repetition; the reference's
+        history-conditioned GPT-2-medium variant needs conversation-
+        level training this chip budget doesn't cover — deviation stated
+        in the result record.)"""
 
-        return GenerationPolicy(generate_batch=generate_batch, key=key)
+        class MarkovPolicy(GenerationPolicy):
+            def act(self, text_history, done=None):
+                if done is None:
+                    done = [False] * len(text_history)
+                live = [i for i, d in enumerate(done) if not d]
+                results = [None] * len(text_history)
+                if not live:
+                    return results
+                prompts = [text_history[i][-1].text for i in live]
+                self.key, step_key = jax.random.split(self.key)
+                outs = server.generate_from_strs(
+                    params, prompts, MAX_LEN, sampling, step_key
+                )
+                from lmrl_gym_tpu.text.frames import Text
+
+                for i, out in zip(live, outs):
+                    results[i] = text_history[i] + (Text(out, True),)
+                return results
+
+        return MarkovPolicy(generate_batch=None, key=key)
 
     def transitions_to_markov_chain(rollout):
         chain = None
