@@ -88,7 +88,10 @@ def build_step(vocab: int, B: int, T: int):
 
 def parse_xplane(trace_dir: str) -> dict:
     """Aggregate device-plane op durations from the newest xplane dump."""
-    from xprof.protobuf import xplane_pb2
+    try:
+        from xprof.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
@@ -99,6 +102,30 @@ def parse_xplane(trace_dir: str) -> dict:
     xspace = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
         xspace.ParseFromString(f.read())
+
+    import re as _re
+
+    def short_name(name: str) -> str:
+        """'%foo.3 = shape op(...)' → 'foo.3 [op]'; bare names pass through."""
+        m = _re.match(r"%?([\w.\-]+) = .*? ([\w\-]+)\(", name)
+        if m:
+            return f"{m.group(1)} [{m.group(2)}]"
+        return name[:60]
+
+    def bucket_of(name: str) -> str:
+        m = _re.match(r"%?[\w.\-]+ = .*? ([\w\-]+)\(", name)
+        op = (m.group(1) if m else name.split(".")[0]).lower()
+        lhs = name.split("=")[0].lower()
+        if "dot" in op or "conv" in op or "dot" in lhs or "matmul" in lhs:
+            return "matmul"
+        if op.startswith("copy") or "transpose" in op:
+            return "copy"
+        if any(c in op for c in (
+            "all-reduce", "all-gather", "reduce-scatter",
+            "collective", "all-to-all",
+        )):
+            return "collective"
+        return "other"
 
     buckets = {"matmul": 0.0, "copy": 0.0, "collective": 0.0, "other": 0.0}
     top = {}
@@ -111,6 +138,11 @@ def parse_xplane(trace_dir: str) -> dict:
     for plane in device_planes:
         meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
+            # only the synchronous HLO op line: 'Steps'/'XLA Modules'
+            # nest the same time and double-count; 'Async XLA Ops'
+            # overlap the sync line (DMA prefetch)
+            if line.name != "XLA Ops":
+                continue
             lo, hi = None, None
             for ev in line.events:
                 name = meta.get(ev.metadata_id, "")
@@ -119,19 +151,9 @@ def parse_xplane(trace_dir: str) -> dict:
                 t0 = ev.offset_ps
                 lo = t0 if lo is None else min(lo, t0)
                 hi = t0 + dur if hi is None else max(hi, t0 + dur)
-                low = name.lower()
-                if "dot" in low or "conv" in low:
-                    buckets["matmul"] += dur
-                elif low.startswith("copy") or "transpose" in low:
-                    buckets["copy"] += dur
-                elif any(c in low for c in (
-                    "all-reduce", "all-gather", "reduce-scatter",
-                    "collective", "all-to-all",
-                )):
-                    buckets["collective"] += dur
-                else:
-                    buckets["other"] += dur
-                top[name] = top.get(name, 0.0) + dur
+                buckets[bucket_of(name)] += dur
+                sn = short_name(name)
+                top[sn] = top.get(sn, 0.0) + dur
             if lo is not None:
                 span_ps += hi - lo
     top10 = sorted(top.items(), key=lambda kv: -kv[1])[:10]
@@ -139,8 +161,16 @@ def parse_xplane(trace_dir: str) -> dict:
         "device_busy_ms": total_ps / 1e9,
         "device_span_ms": span_ps / 1e9,
         "busy_fraction": (total_ps / span_ps) if span_ps else None,
+        # NOTE: on TPU most matmuls execute inside kOutput fusions whose
+        # instruction name doesn't say 'dot', so 'named_matmul' is a
+        # LOWER bound; 'other_fusions' carries the fused matmul+epilogue
+        # time. 'copy' and 'collective' are reliable.
         "time_split": {
-            k: (v / total_ps if total_ps else 0.0) for k, v in buckets.items()
+            ("named_matmul" if k == "matmul" else
+             "other_fusions" if k == "other" else k): (
+                v / total_ps if total_ps else 0.0
+            )
+            for k, v in buckets.items()
         },
         "top10_ops_ms": [[n, d / 1e9] for n, d in top10],
         "xplane_path": paths[-1],

@@ -112,11 +112,12 @@ def collect_behavior(n_episodes, p_good, seed):
     ]
 
     class NoisyAsker(TextPolicy):
-        def __init__(self):
+        def __init__(self, p):
+            self.p = p
             self.inner = HeuristicAskerPolicy(rng=rng)
 
         def act(self, history):
-            if rng.random() < p_good:
+            if rng.random() < self.p:
                 return self.inner.act(history)
             obj = rng.choice(all_objects).lower()
             article = "an" if obj[0] in "aeiou" else "a"
@@ -124,8 +125,14 @@ def collect_behavior(n_episodes, p_good, seed):
 
     episodes = []
     for i in range(n_episodes):
+        # p_good < 0 → EPISODE-LEVEL quality mixture: half the episodes
+        # from a strong asker, half from a weak one. Per-ACTION mixing
+        # makes episode reward luck-dominated, so the top-reward filter
+        # selects lucky episodes, not better strategy (measured:
+        # filtered-BC ~ BC at per-action p=0.5)
+        p = (0.85 if i % 2 == 0 else 0.15) if p_good < 0 else p_good
         transitions = interact_environment(
-            env, NoisyAsker(), env_seed=seed * 104729 + i
+            env, NoisyAsker(p), env_seed=seed * 104729 + i
         )[0]
         chain = transitions_to_chain(transitions)
         traj = chain.text_trajectory
