@@ -293,10 +293,17 @@ def main(argv=None):
     from lmrl_gym_tpu.envs.maze.grids import ACTION_STRS
     from lmrl_gym_tpu.text.frames import Text as _Text
 
-    def reranker_acc(state):
+    def reranker_acc(state, use_target=False):
+        """use_target=True scores with the polyak TARGET Q heads — a free
+        exponential moving average of the online heads, which damps the
+        Q/V fixed-point ringing at evaluation time (the reference keeps
+        the same target params; evaluating through them is the
+        Polyak-averaged-weights trick)."""
+        q1p = state.q1_target_params if use_target else state.q1_head.params
+        q2p = state.q2_target_params if use_target else state.q2_head.params
         bundle = ValueRLParams(
             pi_beta=None, base=state.base.params,
-            q1_head=state.q1_head.params, q2_head=state.q2_head.params,
+            q1_head=q1p, q2_head=q2p,
             v_head=state.v_head.params,
         )
         score = make_ilql_score_fn(core, q_head, v_head, bundle, tokenizer.pad_token_id)
@@ -333,14 +340,17 @@ def main(argv=None):
         if epoch % args.eval_every == 0 or epoch == args.ilql_epochs:
             acc, _ = per_cell_optimal_move_accuracy(guided_act_fn(state), maze, GOAL)
             racc = reranker_acc(state)
+            tacc = reranker_acc(state, use_target=True)
             ll = jax.tree.map(float, _last_logs["losses"])
             qm = float(_last_logs["q1"]["mean"]) if "q1" in _last_logs else float("nan")
             vm = float(_last_logs["v"]["mean"]) if "v" in _last_logs else float("nan")
-            curve.append(dict(epoch=epoch, acc=acc, rerank_acc=racc, kind="ilql_guided"))
+            curve.append(dict(epoch=epoch, acc=acc, rerank_acc=racc,
+                              target_rerank_acc=tacc, kind="ilql_guided"))
             print(f"epoch {epoch:3d}: loss {float(loss):8.3f} "
                   f"[q1 {ll['q1_loss']:.3f} v {ll['v_loss']:.3f} "
                   f"cql {ll['q1_cql_loss']:.3f}] q~{qm:.2f} v~{vm:.2f} "
-                  f"guided acc {acc:.3f}  rerank acc {racc:.3f}  ({time.time()-t0:.0f}s)")
+                  f"guided acc {acc:.3f}  rerank acc {racc:.3f}  "
+                  f"target-rerank {tacc:.3f}  ({time.time()-t0:.0f}s)")
 
     result = dict(bc_acc=bc_acc, curve=curve)
     print(json.dumps(result))
