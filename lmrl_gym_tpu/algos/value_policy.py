@@ -313,6 +313,22 @@ class GenerationPolicy(BatchedTextPolicy):
 
 # ---------------- rerankers ----------------
 
+# Jitted score programs, memoized per (core, heads, weights): each
+# factory call used to create a fresh jax.jit, so gates that rebuild the
+# score fn every eval (chess rerank_mate_rate, maze reranker_acc)
+# retraced the full trunk forward per evaluation. Values hold strong
+# refs to the keyed modules so ids are never recycled while cached.
+_SCORE_JIT_CACHE: dict = {}
+
+
+def _memoized_score_jit(kind, modules, extra_key, build):
+    key = (kind, tuple(id(m) for m in modules), extra_key)
+    hit = _SCORE_JIT_CACHE.get(key)
+    if hit is None:
+        hit = (build(), modules)
+        _SCORE_JIT_CACHE[key] = hit
+    return hit[0]
+
 
 def score_action_tokens(
     values: jax.Array,  # [b, t-1] per-token scores at positions x[:-1]
@@ -338,38 +354,50 @@ def make_ilql_score_fn(
 
     Params are jit ARGUMENTS, not closure captures: captured params embed
     as HLO constants, and at GPT-2-small scale (~1.6GB of weights) that
-    blows the remote-compile request size limit (HTTP 413)."""
+    blows the remote-compile request size limit (HTTP 413). The jitted
+    program is memoized per (core, heads, weights) so repeated factory
+    calls reuse the compiled step."""
+    has_pi = params.pi_beta is not None
+    has_q2 = params.q2_head is not None
 
-    @jax.jit
-    def _score(p: ValueRLParams, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
-        attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
-        _, hidden = core.forward(p.base, input_ids, attention_mask, position_ids)
-        nxt = input_ids[:, 1:][..., None]
-        q1 = jnp.take_along_axis(
-            q_head.apply({"params": p.q1_head}, hidden)[:, :-1], nxt, axis=2
-        ).squeeze(2)
-        if p.q2_head is not None:
-            q2 = jnp.take_along_axis(
-                q_head.apply({"params": p.q2_head}, hidden)[:, :-1], nxt, axis=2
+    def build():
+        @jax.jit
+        def _score(p: ValueRLParams, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+            attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
+            _, hidden = core.forward(p.base, input_ids, attention_mask, position_ids)
+            nxt = input_ids[:, 1:][..., None]
+            q1 = jnp.take_along_axis(
+                q_head.apply({"params": p.q1_head}, hidden)[:, :-1], nxt, axis=2
             ).squeeze(2)
-            q = jnp.minimum(q1, q2)
-        else:
-            q = q1
-        v = v_head.apply({"params": p.v_head}, hidden)[:, :-1].squeeze(2)
-        total = value_weight * (q - v)
-        if logit_weight is not None and p.pi_beta is not None:
-            logits, _ = core.forward(
-                p.pi_beta, input_ids, attention_mask, position_ids
+            if p.q2_head is not None:
+                q2 = jnp.take_along_axis(
+                    q_head.apply({"params": p.q2_head}, hidden)[:, :-1], nxt, axis=2
+                ).squeeze(2)
+                q = jnp.minimum(q1, q2)
+            else:
+                q = q1
+            v = v_head.apply({"params": p.v_head}, hidden)[:, :-1].squeeze(2)
+            total = value_weight * (q - v)
+            if logit_weight is not None and p.pi_beta is not None:
+                logits, _ = core.forward(
+                    p.pi_beta, input_ids, attention_mask, position_ids
+                )
+                logprobs = jax.nn.log_softmax(
+                    mask_pad_logits(logits[:, :-1].astype(jnp.float32), core.config.vocab_size),
+                    axis=-1,
+                )
+                logpi = jnp.take_along_axis(logprobs, nxt, axis=2).squeeze(2)
+                total = total + logit_weight * logpi
+            return score_action_tokens(
+                total, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
             )
-            logprobs = jax.nn.log_softmax(
-                mask_pad_logits(logits[:, :-1].astype(jnp.float32), core.config.vocab_size),
-                axis=-1,
-            )
-            logpi = jnp.take_along_axis(logprobs, nxt, axis=2).squeeze(2)
-            total = total + logit_weight * logpi
-        return score_action_tokens(
-            total, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
-        )
+
+        return _score
+
+    _score = _memoized_score_jit(
+        "ilql", (core, q_head, v_head),
+        (pad_token_id, value_weight, logit_weight, has_pi, has_q2), build,
+    )
 
     def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
         return _score(params, input_ids, action_mask)
@@ -385,17 +413,22 @@ def make_mc_score_fn(
 ):
     """score = Σ_action Q (mc_returns/score_fn.py:10-60)."""
 
-    @jax.jit
-    def _score(p: ValueRLParams, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
-        attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
-        _, hidden = core.forward(p.base, input_ids, attention_mask, position_ids)
-        nxt = input_ids[:, 1:][..., None]
-        q = jnp.take_along_axis(
-            q_head.apply({"params": p.q1_head}, hidden)[:, :-1], nxt, axis=2
-        ).squeeze(2)
-        return score_action_tokens(
-            q, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
-        )
+    def build():
+        @jax.jit
+        def _score(p: ValueRLParams, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+            attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
+            _, hidden = core.forward(p.base, input_ids, attention_mask, position_ids)
+            nxt = input_ids[:, 1:][..., None]
+            q = jnp.take_along_axis(
+                q_head.apply({"params": p.q1_head}, hidden)[:, :-1], nxt, axis=2
+            ).squeeze(2)
+            return score_action_tokens(
+                q, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
+            )
+
+        return _score
+
+    _score = _memoized_score_jit("mc", (core, q_head), (pad_token_id,), build)
 
     def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
         return _score(params, input_ids, action_mask)
@@ -406,20 +439,25 @@ def make_mc_score_fn(
 def make_logprob_score_fn(core: LMCore, params, pad_token_id: int):
     """score = Σ_action logπ (BC/PPO reranker, ppo/score_fn.py:10-126)."""
 
-    @jax.jit
-    def _score(p, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
-        attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
-        logits, _ = core.forward(p, input_ids, attention_mask, position_ids)
-        logprobs = jax.nn.log_softmax(
-            mask_pad_logits(logits[:, :-1].astype(jnp.float32), core.config.vocab_size),
-            axis=-1,
-        )
-        logpi = jnp.take_along_axis(
-            logprobs, input_ids[:, 1:][..., None], axis=2
-        ).squeeze(2)
-        return score_action_tokens(
-            logpi, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
-        )
+    def build():
+        @jax.jit
+        def _score(p, input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
+            attention_mask, position_ids = initialize_attn_mask_pos_ids(input_ids, pad_token_id)
+            logits, _ = core.forward(p, input_ids, attention_mask, position_ids)
+            logprobs = jax.nn.log_softmax(
+                mask_pad_logits(logits[:, :-1].astype(jnp.float32), core.config.vocab_size),
+                axis=-1,
+            )
+            logpi = jnp.take_along_axis(
+                logprobs, input_ids[:, 1:][..., None], axis=2
+            ).squeeze(2)
+            return score_action_tokens(
+                logpi, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
+            )
+
+        return _score
+
+    _score = _memoized_score_jit("logprob", (core,), (pad_token_id,), build)
 
     def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
         return _score(params, input_ids, action_mask)

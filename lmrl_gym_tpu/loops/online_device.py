@@ -231,6 +231,12 @@ def online_ilql_markov(
         # reference's dataloader truncation
         bs = min(config.train_bsize, n_windows)
         n = max(1, n_windows // bs)
+        # cap at the live prefix: a minibatch of all-dead windows has zero
+        # loss and zero grads, but adamw still applies stale-momentum +
+        # weight-decay updates and the polyak target still mixes — rounds
+        # where many episodes end early would apply unintended drift
+        n_live = int(live_flat.sum())
+        n = max(1, min(n, -(-n_live // bs)))
         for epoch in range(config.epochs_per_round):
             k_train, k_perm = jax.random.split(k_train)
             perm = jax.random.permutation(k_perm, n_windows)

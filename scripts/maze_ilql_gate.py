@@ -73,7 +73,11 @@ def main(argv=None):
         "high-capacity trunks; equivalent to the reference recipe with "
         "base lr -> 0",
     )
-    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument(
+        "--lr", type=float, default=None,
+        help="default 1e-3 (3e-4 under --gpt2-small); explicit values are "
+        "never overridden",
+    )
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--out", type=str, default=None)
     p.add_argument(
@@ -88,8 +92,8 @@ def main(argv=None):
         args.hidden, args.layers, args.heads = 768, 12, 12
         if args.tokenizer is None:
             args.tokenizer = "bpe"
-        if args.lr == p.get_default("lr"):
-            args.lr = 3e-4  # GPT-2-small scale: 1e-3 is unstable
+    if args.lr is None:
+        args.lr = 3e-4 if args.gpt2_small else 1e-3  # GPT-2-small: 1e-3 unstable
     if args.tokenizer is None:
         args.tokenizer = "byte"
 

@@ -93,16 +93,27 @@ def collective_census(hlo_text: str) -> dict:
         if not m:
             continue
         shape_part, op = m.groups()
-        base = None
+        base = kind = None
         for c in _COLLECTIVES:
-            if op == c or op.startswith(c + "-start") or op.startswith(c + "."):
-                base = c
+            if op == c or op.startswith(c + "."):
+                base, kind = c, "sync"
+            elif op.startswith(c + "-start"):
+                base, kind = c, "start"
+            elif op.startswith(c + "-done"):
+                base, kind = c, "done"
+            if base is not None:
                 break
         if base is None:
             continue
         entry = census.setdefault(base, {"count": 0, "bytes": 0})
-        entry["count"] += 1
-        entry["bytes"] += _shape_bytes(shape_part)
+        # async '*-start' results are tuples repeating the (aliased)
+        # operand buffers — counting them overcounts payload; take the
+        # instance count from '-start' and the payload bytes from the
+        # matching '-done' op's (un-aliased) result shape
+        if kind in ("sync", "start"):
+            entry["count"] += 1
+        if kind in ("sync", "done"):
+            entry["bytes"] += _shape_bytes(shape_part)
     return census
 
 

@@ -379,8 +379,9 @@ def main(argv=None):
     result = dict(
         bc_return=r0, ppo_return=r1, improvement=r1 - r0,
         bc_return_greedy=g0, ppo_return_greedy=g1, kl_trace=kl_trace,
-        model=f"d{args.hidden} L{args.layers} byte vocab (ref names "
-        f"GPT-2-medium; sized to one v5e chip, stated honestly)",
+        model=f"d{args.hidden} L{args.layers} {args.tokenizer} vocab "
+        f"{tokenizer.vocab_size} (ref names GPT-2-medium; sized to one "
+        f"v5e chip, stated honestly)",
     )
     print(json.dumps(result))
     if args.out:
