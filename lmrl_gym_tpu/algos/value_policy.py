@@ -38,7 +38,11 @@ from lmrl_gym_tpu.core.blocking import (
     strip_prompt_from_completion,
 )
 from lmrl_gym_tpu.envs.base import BatchedTextPolicy
-from lmrl_gym_tpu.models.generation import SamplingConfig, generate
+from lmrl_gym_tpu.models.generation import (
+    SamplingConfig,
+    generate,
+    generate_constrained,
+)
 from lmrl_gym_tpu.models.interface import LMCore, initialize_attn_mask_pos_ids
 from lmrl_gym_tpu.models.transformer import KVCache, mask_pad_logits
 from lmrl_gym_tpu.text.frames import Text, TextHistory, text_history_to_str
@@ -188,6 +192,78 @@ class ValueGuidedServer:
         for row, mrow in zip(np.asarray(tokens)[:B], np.asarray(token_mask)[:B]):
             outs.append(tok.decode([int(t) for t, m in zip(row, mrow) if m]))
         return outs
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def generate_legal(
+        self,
+        params: ValueRLParams,
+        prompt_ids: jax.Array,
+        prompt_mask: jax.Array,
+        sampling: SamplingConfig,
+        key: jax.Array,
+        candidates: jax.Array,  # [B, P, L]
+        candidate_mask: jax.Array,  # [B, P]
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Guided decode constrained to a per-row legal proposal set
+        (models/generation.py::generate_constrained)."""
+        B, T = prompt_ids.shape
+        logits_fn, carry = self._make_guided_logits_fn(
+            params, T + sampling.max_new_tokens, B
+        )
+        return generate_constrained(
+            logits_fn, carry, prompt_ids, prompt_mask, key, sampling,
+            candidates, candidate_mask,
+        )
+
+    def generate_from_strs_legal(
+        self,
+        params: ValueRLParams,
+        prompts: Sequence[str],
+        proposals: Sequence[Sequence[str]],  # legal action strings per prompt
+        max_input_length: int,
+        sampling: SamplingConfig,
+        key: jax.Array,
+        max_proposals: Optional[int] = None,
+        max_proposal_len: Optional[int] = None,
+    ) -> List[str]:
+        """generate_from_strs with decoding masked to each prompt's legal
+        action set. Proposal strings should end with the protocol
+        terminator (e.g. '\\n') so a completed action emits eos.
+
+        max_proposals/max_proposal_len pin the padded (P, L) shapes so the
+        jitted decode specializes once per shape family instead of per
+        position pool (legal-move counts vary per chess position)."""
+        tok = self.tokenizer
+        ids = block_sequences(
+            [tok.encode(p) for p in prompts],
+            tok.pad_token_id,
+            np.int32,
+            BlockingStrategy(Padding.LEFT, Truncation.LEFT, max_input_length),
+        )
+        ids, B = _bucket_batch(ids)
+        Bp = ids.shape[0]
+        tokenized = [
+            [tok.encode(a) for a in props] for props in proposals
+        ]
+        P = max_proposals or max(1, max(len(p) for p in tokenized))
+        L = max_proposal_len or max(
+            1, max((len(a) for p in tokenized for a in p), default=1)
+        )
+        cands = np.full((Bp, P, L), tok.pad_token_id, np.int32)
+        cmask = np.zeros((Bp, P), bool)
+        for i, props in enumerate(tokenized):
+            for j, a in enumerate(props[:P]):
+                a = a[:L]
+                cands[i, j, : len(a)] = a
+                cmask[i, j] = True
+        tokens, token_mask = self.generate_legal(
+            params, ids, (ids != tok.pad_token_id).astype(jnp.int32),
+            sampling, key, jnp.asarray(cands), jnp.asarray(cmask),
+        )
+        return [
+            tok.decode([int(t) for t, m in zip(row, mrow) if m])
+            for row, mrow in zip(np.asarray(tokens)[:B], np.asarray(token_mask)[:B])
+        ]
 
 
 class LMServer:
