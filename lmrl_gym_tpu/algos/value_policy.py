@@ -486,8 +486,18 @@ def make_mc_score_fn(
     q_head: nn.Module,
     params: ValueRLParams,
     pad_token_id: int,
+    length_normalize: bool = False,
 ):
-    """score = Σ_action Q (mc_returns/score_fn.py:10-60)."""
+    """score = Σ_action Q (mc_returns/score_fn.py:10-60). With a twin-Q
+    bundle (q2_head set — the CQL case, ILQL-minus-V) scores Σ min(Q1,Q2).
+
+    length_normalize divides by the action-token count (mean-Q). The
+    reference's Σ is unbiased only because its GPT-2 BPE gives every maze
+    proposal the same token count; under the byte tokenizer proposals
+    range 8-11 tokens and with Q<0 the raw Σ systematically favors SHORT
+    proposals (measured: rerank acc 0.04 vs guided 1.0 on the maze MC
+    gate) — mean-Q is the tokenizer-independent analogue."""
+    has_q2 = params.q2_head is not None
 
     def build():
         @jax.jit
@@ -498,13 +508,27 @@ def make_mc_score_fn(
             q = jnp.take_along_axis(
                 q_head.apply({"params": p.q1_head}, hidden)[:, :-1], nxt, axis=2
             ).squeeze(2)
-            return score_action_tokens(
+            if p.q2_head is not None:
+                q2 = jnp.take_along_axis(
+                    q_head.apply({"params": p.q2_head}, hidden)[:, :-1], nxt, axis=2
+                ).squeeze(2)
+                q = jnp.minimum(q, q2)
+            total = score_action_tokens(
                 q, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
             )
+            if length_normalize:
+                n = (
+                    action_mask[:, 1:].astype(jnp.float32)
+                    * attention_mask[:, 1:].astype(jnp.float32)
+                ).sum(axis=1)
+                total = total / jnp.maximum(n, 1.0)
+            return total
 
         return _score
 
-    _score = _memoized_score_jit("mc", (core, q_head), (pad_token_id,), build)
+    _score = _memoized_score_jit(
+        "mc", (core, q_head), (pad_token_id, has_q2, length_normalize), build
+    )
 
     def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:
         return _score(params, input_ids, action_mask)

@@ -390,12 +390,86 @@ def main(argv=None):
     print(f"ILQL guided greedy (held-out): mate {guided_rate:.3f} "
           f"illegal {guided_ill:.3f}")
 
+    # ---- legality-MASKED guided decode (VERDICT r4 item 4a): constrain
+    # each decode step to the kernel's legal SAN set for the position
+    # (models/generation.py::generate_constrained). The guided policy
+    # π_β + β·min(Q1,Q2) still chooses — but only among legal
+    # continuations, so illegal-move composition is structurally
+    # impossible. This is the serving mode the reference gets for free
+    # from pretrained GPT-2's SAN fluency.
+    from lmrl_gym_tpu.models.generation import SamplingConfig, generate_constrained
+
+    def guided_legal_rate_fn(state, pool, tag):
+        B = int(pool.wk.shape[0])
+        k_legal, p_legal = (np.asarray(x) for x in inner.agent_legal_moves(pool))
+        rows_k, rows_d, rows_pos = [], [], []
+        for i in range(B):
+            for d in np.flatnonzero(k_legal[i]):
+                rows_k.append(True), rows_d.append(int(d)), rows_pos.append(i)
+            for d in np.flatnonzero(p_legal[i]):
+                rows_k.append(False), rows_d.append(int(d)), rows_pos.append(i)
+        frames = np.asarray(
+            inner.render_san(jnp.asarray(rows_k), jnp.asarray(rows_d))
+        )
+        counts = np.bincount(rows_pos, minlength=B)
+        P = int(counts.max())
+        cands = np.full((B, P, inner.ACT_LEN), 256, np.int32)
+        cmask = np.zeros((B, P), bool)
+        slot = np.zeros(B, np.int32)
+        for r, i in enumerate(rows_pos):
+            cands[i, slot[i]] = frames[r]
+            cmask[i, slot[i]] = True
+            slot[i] += 1
+
+        params = {
+            "pi_beta": bc_state.model.params,
+            "base": state.base.params,
+            "q1": state.q1_head.params,
+            "q2": state.q2_head.params,
+        }
+        step_fn, carry0 = actor_mod.make_value_guided_step_fn(
+            core, q_head, batch=B, two_trunks=True, twin_q=True,
+            beta=args.beta, total_len=W,
+        )
+
+        def logits_fn(toks, attn_mask, carry):
+            return step_fn(params, toks, carry)
+
+        obs = inner.obs_tokens(pool)
+        sampling = SamplingConfig(
+            max_new_tokens=inner.ACT_LEN, greedy=True,
+            eos_token_id=10, pad_token_id=256,
+        )
+        toks, _tm = generate_constrained(
+            logits_fn, carry0, obs, jnp.ones(obs.shape, jnp.int32),
+            jax.random.PRNGKey(0), sampling,
+            jnp.asarray(cands), jnp.asarray(cmask),
+        )
+        toks = np.asarray(toks)
+        # parse the emitted frame (piece@0, file@2, rank@4 — render_san
+        # layout) back into the kernel action encoding
+        is_king = toks[:, 0] == ord("K")
+        dst = (toks[:, 4] - ord("1")) * 8 + (toks[:, 2] - ord("a"))
+        act = inner.render_san(jnp.asarray(is_king), jnp.asarray(np.clip(dst, 0, 63)))
+        stepped = inner.step(pool, act, jax.random.PRNGKey(0))
+        rate = float((np.asarray(stepped.reward) == 1.0).mean())
+        ill = float((np.asarray(stepped.reward) == -1.0).mean())
+        print(f"{tag}: legality-masked guided greedy mate {rate:.3f} "
+              f"illegal {ill:.3f} (P_max={P})")
+        return rate, ill
+
+    guided_legal_rate, guided_legal_ill = guided_legal_rate_fn(
+        state, eval_pool, "ILQL guided+legal (held-out)"
+    )
+
     result = dict(
         random_rate=base_rate,
         rerank_rate=rerank_rate,
         rerank_rate_train=rerank_rate_train,
         guided_rate=guided_rate,
         guided_illegal=guided_ill,
+        guided_legal_rate=guided_legal_rate,
+        guided_legal_illegal=guided_legal_ill,
         curve=curve,
     )
     print(json.dumps(result))

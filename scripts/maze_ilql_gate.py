@@ -40,6 +40,34 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument(
+        "--algo", choices=["ilql", "mc", "cql"], default="ilql",
+        help="mc: single-Q reward-to-go regression + Σ-Q reranker "
+        "(mc_returns/train_mc.py:38, score_fn.py:10-60); cql: twin-Q "
+        "SARSA + CQL regularizer, ILQL minus the V head "
+        "(cql/base_interface.py:29-120)",
+    )
+    p.add_argument(
+        "--lr-warmdown", action="store_true",
+        help="cosine-decay the head lr to 0 over the training run. The "
+        "Q→polyak-target→expectile-V→Q recursion rings at a fixed point "
+        "with constant lr (9 instrumented runs, PERF_NOTES r4); decaying "
+        "lr shrinks the ring amplitude to zero so the curve holds to the "
+        "END of training instead of needing an early stop",
+    )
+    p.add_argument(
+        "--guided-legal", action="store_true",
+        help="constrain guided decode to the 4 legal maze actions "
+        "(models/generation.py::generate_constrained) — the serving-side "
+        "composition of the env's action set, VERDICT r4 item 4",
+    )
+    p.add_argument(
+        "--eval-heads", choices=["online", "target"], default="online",
+        help="score rerank/guided evals through the ONLINE heads or the "
+        "polyak TARGET heads (a free EMA of the online heads — the "
+        "principled always-on evaluation choice for a ringing fixed "
+        "point, not an early-stopping trick)",
+    )
     p.add_argument("--n-chains", type=int, default=400)
     p.add_argument("--p-optimal", type=float, default=0.35)
     p.add_argument("--hidden", type=int, default=256)
@@ -216,16 +244,24 @@ def main(argv=None):
     print(f"BC greedy per-cell accuracy: {bc_acc:.3f}  "
           f"(bc loss {float(bc_loss):.3f}, {time.time()-t0:.0f}s)")
 
-    # ---- stage 2: offline ILQL from the BC trunk
+    # ---- stage 2: offline value learning (ILQL / MC / CQL) from the BC trunk
     examples = []
     for c in token_chains:
         curr = c
         while curr is not None:
-            examples.append(algo_data.ILQLExample.from_chain(curr))
+            if args.algo == "mc":
+                examples.append(algo_data.MCExample.from_chain(curr, args.gamma))
+            else:
+                examples.append(algo_data.ILQLExample.from_chain(curr))
             curr = curr.next
-    dataset = algo_data.ArrayDataset(
-        algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
-    )
+    if args.algo == "mc":
+        dataset = algo_data.ArrayDataset(
+            algo_data.block_mc_examples(examples, strategy, tokenizer.pad_token_id)
+        )
+    else:
+        dataset = algo_data.ArrayDataset(
+            algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
+        )
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
     q_cfg = MLPHeadConfig(
         input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
@@ -238,50 +274,125 @@ def main(argv=None):
         layer2_bias_init=args.value_bias_init,
     )
     q_head, v_head = MLPHead(q_cfg), MLPHead(v_cfg)
-    ilql_config = ILQLConfig(
-        use_separate_target_base=not args.freeze_base,
-        polyak_alpha=args.polyak,
-        freeze_base=args.freeze_base,
-        gamma=args.gamma,
+
+    # head-lr schedule: constant, or cosine warmdown to 0 over the run
+    n_batches_per_epoch = -(-len(examples) // args.bsize)
+    total_updates = max(
+        1, args.ilql_epochs * n_batches_per_epoch // max(1, args.grad_accum)
+    )
+    head_lr = (
+        optax.cosine_decay_schedule(args.lr, total_updates)
+        if args.lr_warmdown
+        else args.lr
     )
     base_tx = (
         optax.set_to_zero() if args.freeze_base else optax.adamw(args.lr * 0.3)
     )
-    head_tx = optax.adamw(args.lr)
+    head_tx = optax.adamw(head_lr)
     if args.grad_accum > 1:
         head_tx = optax.MultiSteps(head_tx, every_k_schedule=args.grad_accum)
         if not args.freeze_base:
             base_tx = optax.MultiSteps(base_tx, every_k_schedule=args.grad_accum)
-    state = init_ilql_state(
-        jax.tree.map(jnp.array, bc_params),
-        init_head_params(q_head, config.hidden_size, ks[0]),
-        init_head_params(q_head, config.hidden_size, ks[1]),
-        init_head_params(v_head, config.hidden_size, ks[2]),
-        base_tx, head_tx,
-        ilql_config,
-    )
-    ilql_step = make_ilql_train_step(
-        core, q_head, v_head, ilql_config, tokenizer.pad_token_id
-    )
+
+    if args.algo == "ilql":
+        ilql_config = ILQLConfig(
+            use_separate_target_base=not args.freeze_base,
+            polyak_alpha=args.polyak,
+            freeze_base=args.freeze_base,
+            gamma=args.gamma,
+        )
+        state = init_ilql_state(
+            jax.tree.map(jnp.array, bc_params),
+            init_head_params(q_head, config.hidden_size, ks[0]),
+            init_head_params(q_head, config.hidden_size, ks[1]),
+            init_head_params(v_head, config.hidden_size, ks[2]),
+            base_tx, head_tx,
+            ilql_config,
+        )
+        train_step = make_ilql_train_step(
+            core, q_head, v_head, ilql_config, tokenizer.pad_token_id
+        )
+    elif args.algo == "cql":
+        from lmrl_gym_tpu.algos.cql import (
+            CQLConfig, init_cql_state, make_cql_train_step,
+        )
+
+        cql_config = CQLConfig(
+            gamma=args.gamma, polyak_alpha=args.polyak,
+            use_separate_target_base=not args.freeze_base,
+        )
+        state = init_cql_state(
+            jax.tree.map(jnp.array, bc_params),
+            init_head_params(q_head, config.hidden_size, ks[0]),
+            init_head_params(q_head, config.hidden_size, ks[1]),
+            base_tx, head_tx,
+            cql_config,
+        )
+        train_step = make_cql_train_step(
+            core, q_head, cql_config, tokenizer.pad_token_id
+        )
+    else:  # mc
+        from flax.training.train_state import TrainState as _TS
+
+        from lmrl_gym_tpu.algos.mc import (
+            MCBatch, MCConfig, MCTrainState, make_mc_train_step,
+        )
+
+        mc_config = MCConfig(gamma=args.gamma)
+        state = MCTrainState(
+            base=_TS.create(
+                apply_fn=None, params=jax.tree.map(jnp.array, bc_params),
+                tx=base_tx,
+            ),
+            q_head=_TS.create(
+                apply_fn=None,
+                params=init_head_params(q_head, config.hidden_size, ks[0]),
+                tx=head_tx,
+            ),
+        )
+        train_step = make_mc_train_step(
+            core, q_head, mc_config, tokenizer.pad_token_id
+        )
+
     guided = ValueGuidedServer(
         core, q_head, v_head, tokenizer, beta=args.beta, share_trunk=False
     )
 
+    def heads_of(state, use_target):
+        """(q1, q2, v) params per algo; use_target swaps in the polyak
+        EMA heads where the algo keeps them (MC has none)."""
+        if args.algo == "ilql":
+            if use_target:
+                return state.q1_target_params, state.q2_target_params, state.v_head.params
+            return state.q1_head.params, state.q2_head.params, state.v_head.params
+        if args.algo == "cql":
+            if use_target:
+                return state.q1_target_params, state.q2_target_params, None
+            return state.q1_head.params, state.q2_head.params, None
+        return state.q_head.params, None, None
+
+    ACTION_PROPOSALS = ["move up\n", "move down\n", "move left\n", "move right\n"]
+
     def guided_act_fn(state):
+        q1p, q2p, vp = heads_of(state, args.eval_heads == "target")
         bundle = ValueRLParams(
-            pi_beta=bc_params,
-            base=state.base.params,
-            q1_head=state.q1_head.params,
-            q2_head=state.q2_head.params,
-            v_head=state.v_head.params,
+            pi_beta=bc_params, base=state.base.params,
+            q1_head=q1p, q2_head=q2p, v_head=vp,
         )
 
         def act(histories):
             from lmrl_gym_tpu.text.frames import Text
             prompts = ["".join(t.text for t in h) for h in histories]
-            outs = guided.generate_from_strs(
-                bundle, prompts, MAX_LEN, sampling, jax.random.PRNGKey(0)
-            )
+            if args.guided_legal:
+                outs = guided.generate_from_strs_legal(
+                    bundle, prompts, [ACTION_PROPOSALS] * len(prompts),
+                    MAX_LEN, sampling, jax.random.PRNGKey(0),
+                    max_proposals=4, max_proposal_len=16,
+                )
+            else:
+                outs = guided.generate_from_strs(
+                    bundle, prompts, MAX_LEN, sampling, jax.random.PRNGKey(0)
+                )
             return [h + (Text(o, True),) for h, o in zip(histories, outs)]
 
         return act
@@ -297,20 +408,32 @@ def main(argv=None):
     from lmrl_gym_tpu.envs.maze.grids import ACTION_STRS
     from lmrl_gym_tpu.text.frames import Text as _Text
 
+    from lmrl_gym_tpu.algos.value_policy import make_mc_score_fn
+
     def reranker_acc(state, use_target=False):
         """use_target=True scores with the polyak TARGET Q heads — a free
         exponential moving average of the online heads, which damps the
         Q/V fixed-point ringing at evaluation time (the reference keeps
         the same target params; evaluating through them is the
-        Polyak-averaged-weights trick)."""
-        q1p = state.q1_target_params if use_target else state.q1_head.params
-        q2p = state.q2_target_params if use_target else state.q2_head.params
+        Polyak-averaged-weights trick). MC keeps no targets; its online
+        heads are returned either way."""
+        q1p, q2p, vp = heads_of(state, use_target)
         bundle = ValueRLParams(
             pi_beta=None, base=state.base.params,
-            q1_head=q1p, q2_head=q2p,
-            v_head=state.v_head.params,
+            q1_head=q1p, q2_head=q2p, v_head=vp,
         )
-        score = make_ilql_score_fn(core, q_head, v_head, bundle, tokenizer.pad_token_id)
+        if args.algo == "ilql":
+            score = make_ilql_score_fn(
+                core, q_head, v_head, bundle, tokenizer.pad_token_id
+            )
+        else:
+            # length_normalize: byte-tokenizer proposals are 8-11 tokens,
+            # so the reference's raw Σ-Q favors short proposals (see
+            # make_mc_score_fn docstring); mean-Q is the faithful probe
+            score = make_mc_score_fn(
+                core, q_head, bundle, tokenizer.pad_token_id,
+                length_normalize=True,
+            )
 
         def proposal_fn(history):
             return [history + (_Text(a, True),) for a in ACTION_STRS]
@@ -323,36 +446,44 @@ def main(argv=None):
         acc, _ = per_cell_optimal_move_accuracy(lambda hs: policy.act(hs), maze, GOAL)
         return acc
 
+    def make_batch(b):
+        if args.algo == "mc":
+            from lmrl_gym_tpu.algos.mc import MCBatch as _MCBatch
+
+            return _MCBatch(
+                input_ids=jnp.asarray(b["input_ids"]),
+                should_take_action=jnp.asarray(b["should_take_action"]),
+                returns=jnp.asarray(b["returns"]),
+            )
+        return ILQLBatch(
+            input_ids=jnp.asarray(b["input_ids"]),
+            should_take_action=jnp.asarray(b["should_take_action"]),
+            rewards=jnp.asarray(b["rewards"]),
+            dones=jnp.asarray(b["dones"]),
+            next_token_ids=jnp.asarray(b["next_token_ids"]),
+            next_dones=jnp.asarray(b["next_dones"]),
+        )
+
     curve = [dict(epoch=0, acc=bc_acc, kind="bc")]
     _last_logs = None
     for epoch in range(1, args.ilql_epochs + 1):
         t0 = time.time()
         for b in dataset.batches(args.bsize, rng=rng, drop_last=False):
             key, sk = jax.random.split(key)
-            state, loss, _last_logs = ilql_step(
-                state,
-                ILQLBatch(
-                    input_ids=jnp.asarray(b["input_ids"]),
-                    should_take_action=jnp.asarray(b["should_take_action"]),
-                    rewards=jnp.asarray(b["rewards"]),
-                    dones=jnp.asarray(b["dones"]),
-                    next_token_ids=jnp.asarray(b["next_token_ids"]),
-                    next_dones=jnp.asarray(b["next_dones"]),
-                ),
-                sk,
-            )
+            state, loss, _last_logs = train_step(state, make_batch(b), sk)
         if epoch % args.eval_every == 0 or epoch == args.ilql_epochs:
             acc, _ = per_cell_optimal_move_accuracy(guided_act_fn(state), maze, GOAL)
             racc = reranker_acc(state)
             tacc = reranker_acc(state, use_target=True)
             ll = jax.tree.map(float, _last_logs["losses"])
-            qm = float(_last_logs["q1"]["mean"]) if "q1" in _last_logs else float("nan")
+            _qkey = "q1" if "q1" in _last_logs else ("q" if "q" in _last_logs else None)
+            qm = float(_last_logs[_qkey]["mean"]) if _qkey else float("nan")
             vm = float(_last_logs["v"]["mean"]) if "v" in _last_logs else float("nan")
+            loss_bits = " ".join(f"{k} {v:.3f}" for k, v in sorted(ll.items()))
             curve.append(dict(epoch=epoch, acc=acc, rerank_acc=racc,
-                              target_rerank_acc=tacc, kind="ilql_guided"))
+                              target_rerank_acc=tacc, kind=f"{args.algo}_guided"))
             print(f"epoch {epoch:3d}: loss {float(loss):8.3f} "
-                  f"[q1 {ll['q1_loss']:.3f} v {ll['v_loss']:.3f} "
-                  f"cql {ll['q1_cql_loss']:.3f}] q~{qm:.2f} v~{vm:.2f} "
+                  f"[{loss_bits}] q~{qm:.2f} v~{vm:.2f} "
                   f"guided acc {acc:.3f}  rerank acc {racc:.3f}  "
                   f"target-rerank {tacc:.3f}  ({time.time()-t0:.0f}s)")
 
