@@ -12,9 +12,10 @@ from furniture/feedback):
      there is headroom above the BC baseline.
   2. Eval frozen BC mean return (= win rate; reward 1 only on the
      winning step) over fixed seeds.
-  3. PPO rounds: live-policy rollouts -> Markov (obs, action) windows
-     chained for cross-window GAE credit (the same chain convention the
-     reference's PPO data pipeline consumes, ppo/base_interface.py:
+  3. PPO rounds: live-policy rollouts -> history-windowed (context, obs,
+     action) windows (--history-turns; config #3's history-conditioned
+     obs) chained for cross-window GAE credit (the same chain convention
+     the reference's PPO data pipeline consumes, ppo/base_interface.py:
      295-343) -> per-token KL penalty -> clipped-update epochs, with
      value-head warmup rounds (see maze_ppo_gate.py for the measured
      rationale).
@@ -64,6 +65,19 @@ def main(argv=None):
     p.add_argument("--kl-weight", type=float, default=0.01)
     p.add_argument("--value-warmup-rounds", type=int, default=2)
     p.add_argument("--max-steps", type=int, default=30)
+    p.add_argument(
+        "--history-turns", type=int, default=2,
+        help="history conditioning: each training window and serving "
+        "prompt carries the previous H (obs, action) turns as context "
+        "ahead of the current obs (config #3's 'history-conditioned "
+        "obs'; the same last_k windowing the reference maze env uses, "
+        "maze/env/env.py:182-184). Past actions are context-only "
+        "(is_action=False) so each action is credited exactly once in "
+        "its own window and the chain/GAE semantics are unchanged. 0 = "
+        "Markov (the r4 deviation). The r4 degeneration was a train/"
+        "serve MISMATCH — conversation prompts against Markov-trained "
+        "windows; matched windows fix it",
+    )
     p.add_argument(
         "--tokenizer", choices=["byte", "bpe"], default="bpe",
         help="bpe (default): task BPE — multi-word commands become a few "
@@ -122,7 +136,9 @@ def main(argv=None):
     )
     from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
 
-    MAX_LEN = 384  # first window = objective + room description, <=330 bytes
+    # first window = objective + room description, <=330 bytes; history
+    # windows carry H extra (obs, act) turns of context
+    MAX_LEN = 384 if args.history_turns == 0 else 384 + 128 * args.history_turns
     if args.tokenizer == "bpe":
         from lmrl_gym_tpu.text.bpe import train_bpe_for_task
 
@@ -155,16 +171,16 @@ def main(argv=None):
     def fresh_env():
         return TextNavEnv(display_location=False, max_steps=args.max_steps)
 
-    def make_policy(params, sampling, key):
-        """Markov serving: prompt = the LATEST observation only, matching
-        the per-step (obs, action) training windows. (Serving the whole
-        conversation against Markov-trained windows measurably
-        degenerates into action repetition; the reference's
-        history-conditioned GPT-2-medium variant needs conversation-
-        level training this chip budget doesn't cover — deviation stated
-        in the result record.)"""
+    H = args.history_turns
 
-        class MarkovPolicy(GenerationPolicy):
+    def make_policy(params, sampling, key):
+        """Serving prompt = the last H (obs, action) turns + the current
+        observation — byte-for-byte the layout of the training windows
+        below (H=0: the latest obs only, Markov). Matched layouts are
+        the point: the r4 run showed conversation prompts over
+        Markov-trained windows degenerate into action repetition."""
+
+        class WindowedPolicy(GenerationPolicy):
             def act(self, text_history, done=None):
                 if done is None:
                     done = [False] * len(text_history)
@@ -172,7 +188,10 @@ def main(argv=None):
                 results = [None] * len(text_history)
                 if not live:
                     return results
-                prompts = [text_history[i][-1].text for i in live]
+                prompts = [
+                    "".join(t.text for t in text_history[i][-(2 * H + 1):])
+                    for i in live
+                ]
                 self.key, step_key = jax.random.split(self.key)
                 outs = server.generate_from_strs(
                     params, prompts, MAX_LEN, sampling, step_key
@@ -183,15 +202,30 @@ def main(argv=None):
                     results[i] = text_history[i] + (Text(out, True),)
                 return results
 
-        return MarkovPolicy(generate_batch=None, key=key)
+        return WindowedPolicy(generate_batch=None, key=key)
 
     def transitions_to_markov_chain(rollout):
+        """Per-step windows: [history context (is_action=False), obs,
+        act]. Past actions inside the context are context-ONLY, so every
+        action carries loss/GAE credit exactly once (in its own window)
+        and the chain semantics are identical to the Markov case."""
+        from lmrl_gym_tpu.text.frames import Text as _Text
+
         chain = None
         for tr in reversed(rollout):
             obs = tr.pre_action_history[-1]
             act = tr.post_action_history[-1]
+            if H > 0 and len(tr.pre_action_history) > 1:
+                ctx = "".join(
+                    t.text for t in tr.pre_action_history[:-1][-2 * H:]
+                )
+                texts = (_Text(ctx, False), obs, act)
+                rewards = (0.0, 0.0, tr.reward)
+            else:
+                texts = (obs, act)
+                rewards = (0.0, tr.reward)
             chain = TextTrajectoryChain(
-                TextTrajectory((obs, act), (0.0, tr.reward), tr.done), chain
+                TextTrajectory(texts, rewards, tr.done), chain
             )
         return TokenTrajectoryChain.from_text_trajectory_chain(chain, tokenizer)
 

