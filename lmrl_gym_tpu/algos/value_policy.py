@@ -424,9 +424,18 @@ def make_ilql_score_fn(
     pad_token_id: int,
     value_weight: float = 1.0,
     logit_weight: Optional[float] = None,
+    length_normalize: bool = False,
 ):
     """score = Σ_action value_weight·(min(Q1,Q2)−V) + logit_weight·logπ_β
     (ilql/gpt2/score_fn.py:11-68).
+
+    length_normalize divides by the action-token count (mean advantage).
+    The reference's raw Σ is length-fair only when every candidate spans
+    the same token count; in dialog tasks candidates vary widely and with
+    per-token advantages slightly negative the Σ systematically favors
+    SHORT candidates (the 20Q rerank regression diagnosed in PERF_NOTES
+    r5) — mean advantage is the length-independent analogue, mirroring
+    make_mc_score_fn.
 
     Params are jit ARGUMENTS, not closure captures: captured params embed
     as HLO constants, and at GPT-2-small scale (~1.6GB of weights) that
@@ -464,15 +473,23 @@ def make_ilql_score_fn(
                 )
                 logpi = jnp.take_along_axis(logprobs, nxt, axis=2).squeeze(2)
                 total = total + logit_weight * logpi
-            return score_action_tokens(
+            out = score_action_tokens(
                 total, action_mask[:, 1:], attention_mask[:, 1:].astype(jnp.float32)
             )
+            if length_normalize:
+                n = (
+                    action_mask[:, 1:].astype(jnp.float32)
+                    * attention_mask[:, 1:].astype(jnp.float32)
+                ).sum(axis=1)
+                out = out / jnp.maximum(n, 1.0)
+            return out
 
         return _score
 
     _score = _memoized_score_jit(
         "ilql", (core, q_head, v_head),
-        (pad_token_id, value_weight, logit_weight, has_pi, has_q2), build,
+        (pad_token_id, value_weight, logit_weight, has_pi, has_q2,
+         length_normalize), build,
     )
 
     def score(input_ids: jax.Array, action_mask: jax.Array) -> jax.Array:

@@ -180,10 +180,16 @@ def collect_guess_city_qa(n_episodes: int, seed: int) -> List[TextTrajectory]:
     return windows
 
 
-def collect_buyer_conversations(n_episodes: int, seed: int) -> List[TextTrajectory]:
+def collect_buyer_conversations(
+    n_episodes: int, seed: int, seller_factory=None
+) -> List[TextTrajectory]:
     """Buyer-view conversations with buyer lines as action tokens (the
     reference trains its buyer sim the same way: BC on buyer-role views,
-    car_dealer/env/data.py:206-263)."""
+    car_dealer/env/data.py:206-263).
+
+    seller_factory(rng) -> TextPolicy overrides the data-gen seller —
+    pass a wider-priced seller when the buyer LM must cover a larger
+    (budget, price) grid than the default ladder visits."""
     from lmrl_gym_tpu.cli.tasks import ScriptedSellerPolicy, build_car_dealer_env
     from lmrl_gym_tpu.envs.car_dealer.data import (
         Role,
@@ -191,11 +197,13 @@ def collect_buyer_conversations(n_episodes: int, seed: int) -> List[TextTrajecto
         create_trajectory_from_conversation,
     )
 
+    if seller_factory is None:
+        seller_factory = lambda rng: ScriptedSellerPolicy(rng=rng)  # noqa: E731
     env = build_car_dealer_env()
     rng = random.Random(seed)
     windows: List[TextTrajectory] = []
     for i in range(n_episodes):
-        seller = ScriptedSellerPolicy(rng=rng)
+        seller = seller_factory(rng)
         history = env.reset(seed=seed * 32452843 + i)
         done = False
         buyer_info = env.buyer_info
