@@ -164,6 +164,42 @@ def buyer_fidelity_grid(lm_env_buyer_factory, tokenizer=None):
     return agree / total
 
 
+def ranking_probe(score_fn, tokenizer, max_len):
+    """Controlled Q-ranking probe, independent of rollout noise: the state
+    is welcome → buyer ask → offer $95,000 → buyer counter min(B, $85,500)
+    (which reveals the budget B for every B < $85,500), and the candidates
+    are the nine menu offers. The best continuation is the largest menu
+    price ≤ the counter (sale at 2p/(B+p)), except B=$10,000 where no menu
+    price fits under budget and the top reject reward (p−B)/p picks $95k.
+    Returns (rank accuracy over budgets, per-budget score rows)."""
+    import jax.numpy as jnp  # local: probe is called from main only
+    from lmrl_gym_tpu.algos.value_policy import tokenize_histories_for_scoring
+    from lmrl_gym_tpu.envs.car_dealer.data import DEFAULT_BUDGETS
+    from lmrl_gym_tpu.text.frames import Text
+
+    best = {10000: 95000, 30000: 25000, 50000: 45000, 70000: 65000, 90000: 85000}
+    rows, hits = [], 0
+    for budget in DEFAULT_BUDGETS:
+        counter = min(budget, int(95000 * 0.9))
+        state = (
+            Text("Start\n", False), Text(WELCOME, True),
+            Text("I'm looking for a Toyota SUV. What have you got?\n", False),
+            Text(offer_line(95000), True),
+            Text(f"That's too much. I could do ${counter:,}.\n", False),
+        )
+        cands = [state + (Text(offer_line(p), True),) for p in PRICE_MENU]
+        ids, am = tokenize_histories_for_scoring(cands, tokenizer, max_len)
+        scores = np.asarray(score_fn(jnp.asarray(ids), jnp.asarray(am)))
+        pick = PRICE_MENU[int(np.argmax(scores))]
+        hits += int(pick == best[budget])
+        rows.append({
+            "budget": budget, "picked": pick, "best": best[budget],
+            "scores": {str(p): round(float(s), 4)
+                       for p, s in zip(PRICE_MENU, scores)},
+        })
+    return hits / len(DEFAULT_BUDGETS), rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--behavior-episodes", type=int, default=600)
@@ -171,13 +207,24 @@ def main(argv=None):
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--bc-epochs", type=int, default=40)
-    p.add_argument("--ilql-epochs", type=int, default=12)
+    p.add_argument(
+        "--ilql-epochs", type=int, default=80,
+        help="token-level Bellman backups propagate reward one action "
+        "token per target refresh; a ~45-action-token episode at polyak "
+        "0.02 needs thousands of updates before turn-level Q ranks "
+        "(the 12-epoch first run left Q flat at the attenuated mean)",
+    )
+    p.add_argument(
+        "--mc-epochs", type=int, default=60,
+        help="MC-returns column (single Q regressed on reward-to-go — no "
+        "propagation chain; mc_returns/train_mc.py:38). 0 disables.",
+    )
     p.add_argument("--bsize", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--ilql-lr", type=float, default=1e-3)
     p.add_argument("--beta", type=float, default=8.0)
     p.add_argument("--gamma", type=float, default=0.99)
-    p.add_argument("--polyak", type=float, default=0.005)
+    p.add_argument("--polyak", type=float, default=0.02)
     p.add_argument("--value-bias-init", type=float, default=0.65,
                    help="behavior-mixture mean return (fancy reward)")
     p.add_argument("--freeze-base", action="store_true")
@@ -209,11 +256,15 @@ def main(argv=None):
         pass
 
     import optax
+    from flax.training.train_state import TrainState as _TS
     from twenty_questions_gate import build_policy_trainer
 
     from lmrl_gym_tpu.algos import data as algo_data
     from lmrl_gym_tpu.algos.ilql import (
         ILQLBatch, ILQLConfig, init_ilql_state, make_ilql_train_step,
+    )
+    from lmrl_gym_tpu.algos.mc import (
+        MCBatch, MCConfig, MCTrainState, make_mc_train_step,
     )
     from lmrl_gym_tpu.algos.value_policy import (
         GenerationPolicy,
@@ -221,6 +272,7 @@ def main(argv=None):
         ValueGuidedServer,
         ValueRLParams,
         make_ilql_score_fn,
+        make_mc_score_fn,
         tokenize_histories_for_scoring,
     )
     from lmrl_gym_tpu.cli.tasks import build_car_dealer_env
@@ -358,6 +410,59 @@ def main(argv=None):
               f"q~{float(logs['q1']['mean']):.2f} v~{float(logs['v']['mean']):.2f} "
               f"({time.time()-t0:.0f}s)")
 
+    # ---- MC-returns column: single Q regressed on reward-to-go
+    # (mc_returns/train_mc.py:38 — no Bellman chain, so turn-level
+    # ranking needs no target propagation)
+    mc_state = None
+    if args.mc_epochs > 0:
+        mc_examples = [
+            algo_data.MCExample.from_chain(c, args.gamma) for c in chains
+        ]
+        mc_dataset = algo_data.ArrayDataset(
+            algo_data.block_mc_examples(
+                mc_examples, strategy, tokenizer.pad_token_id
+            )
+        )
+        mc_total = max(1, args.mc_epochs * n_batches)
+        mc_lr = (
+            optax.cosine_decay_schedule(args.ilql_lr, mc_total)
+            if args.lr_warmdown else args.ilql_lr
+        )
+        mc_state = MCTrainState(
+            base=_TS.create(
+                apply_fn=None, params=jax.tree.map(jnp.array, bc_params),
+                tx=optax.set_to_zero() if args.freeze_base
+                else optax.adamw(args.ilql_lr * 0.3),
+            ),
+            q_head=_TS.create(
+                apply_fn=None,
+                params=init_head_params(q_head, config.hidden_size, ks[1]),
+                tx=optax.adamw(mc_lr),
+            ),
+        )
+        mc_step = make_mc_train_step(
+            core, q_head, MCConfig(gamma=args.gamma),
+            tokenizer.pad_token_id,
+        )
+        mkey = jax.random.PRNGKey(4)
+        mrng = np.random.default_rng(args.seed + 2)
+        for epoch in range(1, args.mc_epochs + 1):
+            t0 = time.time()
+            for b in mc_dataset.batches(args.bsize, rng=mrng, drop_last=False):
+                mkey, sk = jax.random.split(mkey)
+                mc_state, mloss, mlogs = mc_step(
+                    mc_state,
+                    MCBatch(
+                        input_ids=jnp.asarray(b["input_ids"]),
+                        should_take_action=jnp.asarray(b["should_take_action"]),
+                        returns=jnp.asarray(b["returns"]),
+                    ),
+                    sk,
+                )
+            if epoch % 10 == 0 or epoch == args.mc_epochs:
+                print(f"MC epoch {epoch}: loss {float(mloss):.4f} "
+                      f"({time.time()-t0:.0f}s)")
+
     # ---- serving policies
     server = LMServer(core, tokenizer)
 
@@ -402,13 +507,40 @@ def main(argv=None):
         core, q_head, v_head, score_bundle, tokenizer.pad_token_id,
         length_normalize=True,
     )
+    mc_score_fn = None
+    if mc_state is not None:
+        mc_bundle = ValueRLParams(
+            pi_beta=None, base=mc_state.base.params,
+            q1_head=mc_state.q_head.params, q2_head=None, v_head=None,
+        )
+        mc_score_fn = make_mc_score_fn(
+            core, q_head, mc_bundle, tokenizer.pad_token_id,
+            length_normalize=True,
+        )
+
+    # controlled Q-ranking probes (rollout-independent diagnosability)
+    ilql_probe_acc, ilql_probe_rows = ranking_probe(
+        score_fn, tokenizer, args.max_len
+    )
+    print(f"ILQL ranking probe: {ilql_probe_acc:.2f} "
+          f"picks {[r['picked'] for r in ilql_probe_rows]} "
+          f"best {[r['best'] for r in ilql_probe_rows]}")
+    mc_probe_acc, mc_probe_rows = (None, None)
+    if mc_score_fn is not None:
+        mc_probe_acc, mc_probe_rows = ranking_probe(
+            mc_score_fn, tokenizer, args.max_len
+        )
+        print(f"MC ranking probe: {mc_probe_acc:.2f} "
+              f"picks {[r['picked'] for r in mc_probe_rows]}")
+
     K = args.rerank_k
     CH = args.eval_bsize * K
 
     class SampleRerankPolicy(BatchedTextPolicy):
-        """K BC samples per turn, best by mean_action(min(Q1,Q2)−V)."""
+        """K BC samples per turn, best by the given action-token score."""
 
-        def __init__(self):
+        def __init__(self, scorer=None):
+            self.scorer = scorer if scorer is not None else score_fn
             self.key = jax.random.PRNGKey(args.seed + 1)
 
         def act(self, histories, done=None):
@@ -443,7 +575,7 @@ def main(argv=None):
                 am = jnp.concatenate(
                     [am, jnp.broadcast_to(am[:1], (CH - n, am.shape[1]))]
                 )
-            scores = np.asarray(score_fn(ids, am))[:n]
+            scores = np.asarray(self.scorer(ids, am))[:n]
             for j, i in enumerate(live):
                 sub = scores[j * K : (j + 1) * K]
                 results[i] = cand_histories[j * K + int(np.argmax(sub))]
@@ -501,6 +633,11 @@ def main(argv=None):
         results[f"ilql_rerank_{env_name}"] = eval_policy(
             SampleRerankPolicy(), env, f"ILQL sample-rerank K={K} [{env_name}]"
         )
+        if mc_score_fn is not None:
+            results[f"mc_rerank_{env_name}"] = eval_policy(
+                SampleRerankPolicy(mc_score_fn), env,
+                f"MC sample-rerank K={K} [{env_name}]",
+            )
 
     result = dict(
         behavior_reward_mean=float(rewards.mean()),
@@ -509,8 +646,17 @@ def main(argv=None):
         bc_reward=results["bc_greedy_scripted"],
         ilql_rerank_reward=results["ilql_rerank_scripted"],
         ilql_guided_reward=results["ilql_guided_scripted"],
+        mc_rerank_reward=results.get("mc_rerank_scripted"),
+        ilql_probe_acc=ilql_probe_acc,
+        mc_probe_acc=mc_probe_acc,
+        ilql_probe=ilql_probe_rows,
+        mc_probe=mc_probe_rows,
         improvement=results["ilql_rerank_scripted"]
         - results["bc_greedy_scripted"],
+        mc_improvement=(
+            results["mc_rerank_scripted"] - results["bc_greedy_scripted"]
+            if mc_score_fn is not None else None
+        ),
         lm_improvement=(
             results["ilql_rerank_lm_buyer"] - results["bc_greedy_lm_buyer"]
             if "lm_buyer" in envs else None
