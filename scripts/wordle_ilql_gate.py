@@ -74,6 +74,16 @@ def main(argv=None):
     p.add_argument("--online-rounds", type=int, default=0,
                    help="optional on-device online ILQL rounds after the "
                    "offline phase (loops/online_device.py)")
+    p.add_argument("--constrain-vocab", action="store_true", default=True,
+                   help="mask every serving rollout's decode to the vocab "
+                   "trie (actor.rollout_wordle(constrain_vocab=True)) — "
+                   "the serving-side legal-guess composition, applied to "
+                   "BC, %BC and ILQL alike. A from-scratch byte LM emits "
+                   "~no valid words unmasked (measured: every policy "
+                   "-6.000); the reference's GPT-2 gets well-formedness "
+                   "from pretraining (zero egress here)")
+    p.add_argument("--no-constrain-vocab", dest="constrain_vocab",
+                   action="store_false")
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
@@ -187,6 +197,7 @@ def main(argv=None):
             venv, lm_step_fn, jax.tree.map(jnp.asarray, params), lm_carry0,
             jax.random.PRNGKey(args.seed * 31 + (1 if greedy else 0)),
             holder, args.eval_temp, greedy,
+            constrain_vocab=args.constrain_vocab,
         )
         ret = float((out.turn_reward * out.turn_live).sum(axis=1).mean())
         win = float(out.win.mean())
@@ -261,6 +272,7 @@ def main(argv=None):
             venv, guided_step_fn, params, guided_carry0,
             jax.random.PRNGKey(args.seed * 31 + (1 if greedy else 0)),
             holder, args.eval_temp, greedy,
+            constrain_vocab=args.constrain_vocab,
         )
         ret = float((out.turn_reward * out.turn_live).sum(axis=1).mean())
         win = float(out.win.mean())
@@ -351,6 +363,7 @@ def main(argv=None):
         ilql_return_greedy=ilql_g["ret"], ilql_win_greedy=ilql_g["win"],
         optimal_return=optimal_ret,
         curve=curve, online_history=online_history,
+        constrain_vocab=args.constrain_vocab,
         model=f"d{args.hidden} L{args.layers} byte vocab "
         f"{tokenizer.vocab_size}, beta={args.beta}, eval B={B} on-device "
         f"fused rollouts (ref names GPT-2-small; sized to one v5e chip)",

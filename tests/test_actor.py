@@ -155,3 +155,39 @@ def test_segmented_rollout_matches_scan_rollout():
         np.asarray(a.turn_reward), np.asarray(b.turn_reward)
     )
     np.testing.assert_array_equal(np.asarray(a.win), np.asarray(b.win))
+
+
+def test_lm_actor_constrained_vocab_decode():
+    """constrain_vocab=True must make EVERY decoded guess a vocab word
+    (trie-masked letters + forced separators) even from a random-init LM —
+    the serving-side legal-guess composition the wordle ILQL gate relies
+    on (a random LM unmasked is ~always invalid, test_lm_actor_end_to_end
+    above)."""
+    env = _env()
+    config = tiny_test_config(max_position_embeddings=actor.EPISODE_LEN)
+    core = LMCore(config)
+    params = init_params(config, jax.random.PRNGKey(0))
+    B = 4
+    step_fn, carry0 = actor.make_lm_step_fn(core, B)
+    out = actor.rollout_wordle(
+        env, step_fn, params, carry0, jax.random.PRNGKey(3), jnp.zeros((B,)),
+        1.0, False, constrain_vocab=True,
+    )
+    tok = ByteTokenizer()
+    words = set(env.vocab.words)
+    n_turns = np.asarray(out.n_turns)
+    toks = np.asarray(out.tokens)
+    for b in range(B):
+        text = tok.decode([int(t) for t in toks[b]])
+        lines = text.split("\n")
+        assert lines[0] == "Wordle:"
+        for t in range(int(n_turns[b])):
+            guess = lines[1 + 2 * t].replace(" ", "")
+            assert guess in words, (b, t, guess)
+    # greedy variant too
+    outg = actor.rollout_wordle(
+        env, step_fn, params, carry0, jax.random.PRNGKey(4), jnp.zeros((B,)),
+        1.0, True, constrain_vocab=True,
+    )
+    textg = tok.decode([int(t) for t in np.asarray(outg.tokens)[0]])
+    assert textg.split("\n")[1].replace(" ", "") in words
