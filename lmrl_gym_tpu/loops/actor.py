@@ -328,6 +328,72 @@ def rollout_wordle(
     )
 
 
+@partial(jax.jit, static_argnums=(0,))
+def rollout_wordle_scripted(
+    env: WordleVectorEnv,
+    key: jax.Array,
+    batch_holder: jax.Array,  # [B] shape carrier
+    p_smart: float = 1.0,
+) -> WordleRollout:
+    """Device-side behavior generator: each turn's guess is the env's
+    random-CONSISTENT guess w.p. p_smart, else a uniform random vocab word
+    (valid but feedback-blind). A per-TURN quality mixture, so identical
+    contexts carry both good and bad actions — the adversarial-mixture
+    design the maze/car-dealer gates use; episode-level filtering (%BC)
+    cannot isolate turn quality but per-token values can. Token stream is
+    byte-identical to rollout_wordle's, so the rollouts feed BC/ILQL
+    training directly (wordle_rollout_to_ilql_batch) at vector-env rates
+    instead of host-scripted episode collection."""
+    B = batch_holder.shape[0]
+    header = jnp.broadcast_to(jnp.asarray(HEADER, jnp.int32), (B, len(HEADER)))
+    tokens0 = jnp.zeros((B, EPISODE_LEN), jnp.int32).at[:, : len(HEADER)].set(header)
+    state0 = initial_state(B)
+    fb_bytes = jnp.asarray(_FEEDBACK_BYTES, jnp.int32)
+    vchars = jnp.asarray(env.vocab_chars, jnp.int32)
+
+    def turn(scan_carry, turn_in):
+        state, tokens = scan_carry
+        t, tk = turn_in
+        kg, kr, km, ke = jax.random.split(tk, 4)
+
+        live = ~state.done
+        g_smart = env.random_consistent_guess(state, kg)
+        g_rand = vchars[jax.random.randint(kr, (B,), 0, vchars.shape[0])]
+        smart = jax.random.bernoulli(km, p_smart, (B,))
+        guess = jnp.where(smart[:, None], g_smart, g_rand).astype(jnp.int8)
+
+        new_state, feedback = env.step(state, guess, jnp.ones((B,), bool), ke)
+
+        act = jnp.full((B, 2 * N_CHARS), _SP, jnp.int32)
+        act = act.at[:, 0 : 2 * N_CHARS : 2].set(_A + guess.astype(jnp.int32))
+        act = act.at[:, 2 * N_CHARS - 1].set(_NL)
+        fb = fb_bytes[feedback.astype(jnp.int32)]
+        obs = jnp.full((B, 2 * N_CHARS), _SP, jnp.int32)
+        obs = obs.at[:, 0 : 2 * N_CHARS : 2].set(fb)
+        obs = obs.at[:, 2 * N_CHARS - 1].set(_NL)
+
+        off = len(HEADER) + t * TURN_LEN
+        tokens = jax.lax.dynamic_update_slice(tokens, act, (0, off))
+        tokens = jax.lax.dynamic_update_slice(tokens, obs, (0, off + 2 * N_CHARS))
+        return (new_state, tokens), (new_state.reward * live, live)
+
+    keys = jax.random.split(key, N_TRIES)
+    ts = jnp.arange(N_TRIES)
+    (state, tokens), (turn_reward, turn_live) = jax.lax.scan(
+        turn, (state0, tokens0), (ts, keys)
+    )
+    turn_reward = turn_reward.T
+    turn_live = turn_live.T
+    win = jnp.any((turn_reward == 0.0) & turn_live, axis=-1)
+    return WordleRollout(
+        tokens=tokens,
+        turn_reward=turn_reward,
+        turn_live=turn_live,
+        win=win,
+        n_turns=turn_live.sum(axis=-1).astype(jnp.int32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Generic fused actor for Markov turn-based token envs (chess endgames,
 # maze): each turn is an independent (obs, action) window — the model sees

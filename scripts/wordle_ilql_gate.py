@@ -45,6 +45,17 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n-episodes", type=int, default=2000)
+    p.add_argument(
+        "--device-data", type=int, default=20480,
+        help="generate this many behavior episodes ON DEVICE with the "
+        "scripted per-TURN mixture (actor.rollout_wordle_scripted: "
+        "consistent guess w.p. prob-smart else random valid word) at "
+        "vector-env rates. Per-turn mixing makes episode-level %BC "
+        "filtering unable to isolate turn quality while per-token values "
+        "can (the maze/car-dealer adversarial design). 0 = host-scripted "
+        "episode collection (--n-episodes, episode-level mixture)",
+    )
+    p.add_argument("--gen-batch", type=int, default=2048)
     p.add_argument("--prob-smart", type=float, default=0.66)
     p.add_argument("--filter-frac", type=float, default=0.25)
     p.add_argument("--hidden", type=int, default=256)
@@ -61,7 +72,13 @@ def main(argv=None):
         "serves beta=32 (wordle/ilql/train_ilql_gpt2.py:100)",
     )
     p.add_argument("--gamma", type=float, default=0.99)
-    p.add_argument("--polyak", type=float, default=0.005)
+    p.add_argument(
+        "--polyak", type=float, default=0.02,
+        help="token-level Bellman backups propagate one action token per "
+        "target refresh (~60 action tokens/episode here); 0.005 was too "
+        "slow to carry the terminal reward back at this update budget "
+        "(the car-dealer gate's diagnosis, PERF_NOTES r5)",
+    )
     p.add_argument("--value-bias-init", type=float, default=-4.0,
                    help="typical wordle return scale (cf. the reference's "
                    "bias_init=-4.1 wordle value head)")
@@ -133,19 +150,49 @@ def main(argv=None):
     venv = WordleVectorEnv(vocab)
     B = args.eval_batch
 
-    # ---- behavior data
-    print(f"data: {args.n_episodes} episodes, scripted mixture "
-          f"prob_smart={args.prob_smart}")
-    chains = generate_wordle_chains(
-        args.n_episodes, seed=args.seed, prob_smart=args.prob_smart
-    )
-    ep_rewards = np.asarray([sum(c.text_trajectory.reward) for c in chains])
-    print(f"behavior: reward mean {ep_rewards.mean():.3f} "
-          f"min {ep_rewards.min():.0f} max {ep_rewards.max():.0f} "
-          f"({time.time()-t_start:.0f}s)")
-    token_chains = [
-        TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
-    ]
+    # ---- behavior data: on-device scripted-mixture rollouts (default)
+    # or host-scripted episode collection (--device-data 0)
+    device_rollout = None
+    if args.device_data > 0:
+        print(f"data: {args.device_data} episodes ON DEVICE, per-turn "
+              f"mixture p_smart={args.prob_smart}")
+        gen_holder = jnp.zeros((args.gen_batch,))
+        gkey = jax.random.PRNGKey(args.seed * 131 + 7)
+        parts = []
+        for i in range(-(-args.device_data // args.gen_batch)):
+            gkey, k = jax.random.split(gkey)
+            parts.append(
+                actor_mod.rollout_wordle_scripted(
+                    venv, k, gen_holder, args.prob_smart
+                )
+            )
+        device_rollout = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs])[
+                : args.device_data
+            ],
+            *parts,
+        )
+        ep_rewards = (
+            device_rollout.turn_reward * device_rollout.turn_live
+        ).sum(axis=1)
+        print(f"behavior: reward mean {ep_rewards.mean():.3f} "
+              f"min {ep_rewards.min():.0f} max {ep_rewards.max():.0f} "
+              f"win {device_rollout.win.mean():.3f} "
+              f"({time.time()-t_start:.0f}s)")
+        token_chains = None
+    else:
+        print(f"data: {args.n_episodes} episodes, scripted mixture "
+              f"prob_smart={args.prob_smart}")
+        chains = generate_wordle_chains(
+            args.n_episodes, seed=args.seed, prob_smart=args.prob_smart
+        )
+        ep_rewards = np.asarray([sum(c.text_trajectory.reward) for c in chains])
+        print(f"behavior: reward mean {ep_rewards.mean():.3f} "
+              f"min {ep_rewards.min():.0f} max {ep_rewards.max():.0f} "
+              f"({time.time()-t_start:.0f}s)")
+        token_chains = [
+            TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
+        ]
 
     # ---- BC(all) and %BC
     def train_bc(tcs, seed, epochs_scale=1):
@@ -179,14 +226,56 @@ def main(argv=None):
                 )
         return state.model.params, float(loss)
 
-    bc_params, bc_loss = train_bc(token_chains, args.seed)
-    cutoff = np.quantile(ep_rewards, 1.0 - args.filter_frac)
-    keep = [c for c, r in zip(token_chains, ep_rewards) if r >= cutoff]
-    scale = max(1, round(len(token_chains) / max(1, len(keep))))
-    pbc_params, pbc_loss = train_bc(keep, args.seed, epochs_scale=scale)
-    print(f"BC loss {bc_loss:.3f} | %BC keeps {len(keep)} eps "
-          f"(reward >= {cutoff:.0f}) loss {pbc_loss:.3f} "
-          f"({time.time()-t_start:.0f}s)")
+    def train_bc_arrays(data, seed, epochs_scale=1):
+        """BC straight from device-generated [N,128] token arrays."""
+        dataset = algo_data.ArrayDataset(data)
+        params = init_params(config, jax.random.PRNGKey(seed))
+        state = BCTrainState(
+            model=TrainState.create(
+                apply_fn=None, params=params,
+                tx=make_optimizer(OptimizerConfig(lr=args.lr), params),
+            )
+        )
+        step = make_bc_train_step(core, BCConfig(), tokenizer.pad_token_id, None)
+        key = jax.random.PRNGKey(seed + 1)
+        rng = np.random.default_rng(seed)
+        loss = jnp.zeros(())
+        for _ in range(args.bc_epochs * epochs_scale):
+            for b in dataset.batches(args.bsize, rng=rng, drop_last=False):
+                key, sk = jax.random.split(key)
+                state, loss, _ = step(
+                    state,
+                    BCBatch(jnp.asarray(b["input_ids"]), jnp.asarray(b["training_mask"])),
+                    sk,
+                )
+        return state.model.params, float(loss)
+
+    if device_rollout is not None:
+        bc_tokens = device_rollout.tokens.astype(np.int32)
+        bc_mask = np.asarray(device_rollout.token_action_mask()).astype(
+            np.float32
+        )
+        bc_data = dict(input_ids=bc_tokens, training_mask=bc_mask)
+        bc_params, bc_loss = train_bc_arrays(bc_data, args.seed)
+        cutoff = np.quantile(ep_rewards, 1.0 - args.filter_frac)
+        keep_idx = np.flatnonzero(ep_rewards >= cutoff)
+        scale = max(1, round(len(bc_tokens) / max(1, len(keep_idx))))
+        pbc_params, pbc_loss = train_bc_arrays(
+            dict(input_ids=bc_tokens[keep_idx], training_mask=bc_mask[keep_idx]),
+            args.seed, epochs_scale=scale,
+        )
+        print(f"BC loss {bc_loss:.3f} | %BC keeps {len(keep_idx)} eps "
+              f"(reward >= {cutoff:.0f}) loss {pbc_loss:.3f} "
+              f"({time.time()-t_start:.0f}s)")
+    else:
+        bc_params, bc_loss = train_bc(token_chains, args.seed)
+        cutoff = np.quantile(ep_rewards, 1.0 - args.filter_frac)
+        keep = [c for c, r in zip(token_chains, ep_rewards) if r >= cutoff]
+        scale = max(1, round(len(token_chains) / max(1, len(keep))))
+        pbc_params, pbc_loss = train_bc(keep, args.seed, epochs_scale=scale)
+        print(f"BC loss {bc_loss:.3f} | %BC keeps {len(keep)} eps "
+              f"(reward >= {cutoff:.0f}) loss {pbc_loss:.3f} "
+              f"({time.time()-t_start:.0f}s)")
 
     # ---- on-device eval harness (fused actor; fixed keys)
     lm_step_fn, lm_carry0 = actor_mod.make_lm_step_fn(core, B)
@@ -212,15 +301,26 @@ def main(argv=None):
     pbc_g = eval_lm(pbc_params, "%BC", greedy=True)
 
     # ---- offline ILQL from the BC trunk
-    examples = []
-    for c in token_chains:
-        curr = c
-        while curr is not None:
-            examples.append(algo_data.ILQLExample.from_chain(curr))
-            curr = curr.next
-    dataset = algo_data.ArrayDataset(
-        algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
-    )
+    if device_rollout is not None:
+        n_examples = len(bc_tokens)
+        dataset = algo_data.ArrayDataset(dict(
+            input_ids=bc_tokens,
+            should_take_action=bc_mask[:, 1:].astype(bool),
+            rewards=np.asarray(device_rollout.token_rewards())[:, 1:].astype(
+                np.float32
+            ),
+            dones=np.ones((n_examples,), bool),
+        ))
+    else:
+        examples = []
+        for c in token_chains:
+            curr = c
+            while curr is not None:
+                examples.append(algo_data.ILQLExample.from_chain(curr))
+                curr = curr.next
+        dataset = algo_data.ArrayDataset(
+            algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
+        )
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
     q_cfg = MLPHeadConfig(
         input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
@@ -237,7 +337,10 @@ def main(argv=None):
         gamma=args.gamma, polyak_alpha=args.polyak, beta=args.beta,
         use_separate_target_base=True,
     )
-    n_batches = -(-len(examples) // args.bsize)
+    n_examples = (
+        len(bc_tokens) if device_rollout is not None else len(examples)
+    )
+    n_batches = -(-n_examples // args.bsize)
     total_updates = max(1, args.ilql_epochs * n_batches)
     head_lr = (
         optax.cosine_decay_schedule(args.lr, total_updates)

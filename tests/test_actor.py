@@ -191,3 +191,29 @@ def test_lm_actor_constrained_vocab_decode():
     )
     textg = tok.decode([int(t) for t in np.asarray(outg.tokens)[0]])
     assert textg.split("\n")[1].replace(" ", "") in words
+
+
+def test_scripted_mixture_rollout_generates_behavior_data():
+    """rollout_wordle_scripted: device-side behavior generator. At
+    p_smart=1 every guess is consistent → the win rate matches the env's
+    own random-consistent kernel (>0.5 over 64 envs); at p_smart=0 the
+    guesses are valid but feedback-blind → far lower win rate. Token
+    stream must decode to the standard rendering with in-vocab guesses."""
+    env = _env()
+    B = 64
+    out = actor.rollout_wordle_scripted(
+        env, jax.random.PRNGKey(0), jnp.zeros((B,)), 1.0
+    )
+    assert float(out.win.mean()) > 0.5
+    out0 = actor.rollout_wordle_scripted(
+        env, jax.random.PRNGKey(0), jnp.zeros((B,)), 0.0
+    )
+    assert float(out0.win.mean()) < float(out.win.mean())
+    tok = ByteTokenizer()
+    words = set(env.vocab.words)
+    text = tok.decode([int(t) for t in np.asarray(out.tokens)[0]])
+    lines = text.split("\n")
+    assert lines[0] == "Wordle:"
+    assert lines[1].replace(" ", "") in words
+    # same fixed layout as the LM actor: action masks/rewards line up
+    assert np.asarray(out.token_action_mask()).sum() == np.asarray(out.turn_live).sum() * 10
