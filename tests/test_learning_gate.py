@@ -692,3 +692,32 @@ def test_chess_mate_in_1_gate():
     else:
         # CPU-budget variant: the values must still beat random held-out
         assert result["rerank_rate"] >= result["random_rate"], result
+
+
+@pytest.mark.slow
+def test_gpt2_small_maze_gate():
+    """VERDICT r4 item 3: the GPT-2-small maze ILQL configuration under
+    test (TPU-gated — the d768 L12 vocab-50,257 model does not fit a CPU
+    budget). The r5 recipe replaces the r4 post-hoc early stop with a
+    FIXED 2-epoch horizon: head lr cosine-annealed to zero over exactly
+    the run, evals through the polyak-EMA target heads (the EMA holds the
+    early good ranking; the 12-epoch warmdown curve that still collapses
+    is recorded as GATE_GPT2SMALL_MAZE_r05_warmdown12_negative.json).
+    Seeds 5/7/9 artifacts: GATE_GPT2SMALL_MAZE_r05_seed*.json."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("GPT-2-small gate needs the TPU chip")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from maze_ilql_gate import main as gate_main
+
+    result = gate_main([
+        "--gpt2-small", "--n-chains", "800", "--grad-accum", "4",
+        "--value-bias-init", "-15", "--freeze-base", "--lr-warmdown",
+        "--guided-legal", "--eval-heads", "target",
+        "--ilql-epochs", "2", "--eval-every", "1", "--seed", "5",
+    ])
+    final = [r for r in result["curve"] if r.get("kind") != "bc"][-1]
+    assert final["target_rerank_acc"] >= 0.8, result
+    assert result["bc_acc"] <= 0.2, result  # adversarial data: BC must fail
