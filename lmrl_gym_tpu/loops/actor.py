@@ -334,16 +334,21 @@ def rollout_wordle_scripted(
     key: jax.Array,
     batch_holder: jax.Array,  # [B] shape carrier
     p_smart: float = 1.0,
+    p_repeat: float = 0.0,
 ) -> WordleRollout:
     """Device-side behavior generator: each turn's guess is the env's
-    random-CONSISTENT guess w.p. p_smart, else a uniform random vocab word
-    (valid but feedback-blind). A per-TURN quality mixture, so identical
-    contexts carry both good and bad actions — the adversarial-mixture
-    design the maze/car-dealer gates use; episode-level filtering (%BC)
-    cannot isolate turn quality but per-token values can. Token stream is
-    byte-identical to rollout_wordle's, so the rollouts feed BC/ILQL
-    training directly (wordle_rollout_to_ilql_batch) at vector-env rates
-    instead of host-scripted episode collection."""
+    random-CONSISTENT guess w.p. p_smart, a REPEAT of the previous valid
+    guess w.p. p_repeat (the reference's RepeatPolicy,
+    wordle/env/scripted_policies.py:42-174 — a concentrated, systematically
+    bad action: given the context it is DETERMINISTIC, so greedy imitation
+    locks onto it wherever its mixture mass beats any single consistent
+    word's), else a uniform random vocab word (valid but feedback-blind).
+    A per-TURN quality mixture, so identical contexts carry both good and
+    bad actions — the adversarial-mixture design the maze/car-dealer gates
+    use; episode-level filtering (%BC) cannot isolate turn quality but
+    per-token values can. Token stream is byte-identical to
+    rollout_wordle's, so the rollouts feed BC/ILQL training directly at
+    vector-env rates instead of host-scripted episode collection."""
     B = batch_holder.shape[0]
     header = jnp.broadcast_to(jnp.asarray(HEADER, jnp.int32), (B, len(HEADER)))
     tokens0 = jnp.zeros((B, EPISODE_LEN), jnp.int32).at[:, : len(HEADER)].set(header)
@@ -359,8 +364,17 @@ def rollout_wordle_scripted(
         live = ~state.done
         g_smart = env.random_consistent_guess(state, kg)
         g_rand = vchars[jax.random.randint(kr, (B,), 0, vchars.shape[0])]
-        smart = jax.random.bernoulli(km, p_smart, (B,))
-        guess = jnp.where(smart[:, None], g_smart, g_rand).astype(jnp.int8)
+        # previous valid guess (guess_hist stores -1 for none/invalid)
+        last_slot = jnp.clip(state.n_guesses - 1, 0, N_TRIES - 1)
+        g_last = state.guess_hist[jnp.arange(B), last_slot].astype(jnp.int32)
+        has_last = g_last[:, 0] >= 0
+        g_repeat = jnp.where(has_last[:, None], g_last, g_rand)
+        u = jax.random.uniform(km, (B,))
+        smart = u < p_smart
+        repeat = (~smart) & (u < p_smart + p_repeat)
+        guess = jnp.where(
+            smart[:, None], g_smart, jnp.where(repeat[:, None], g_repeat, g_rand)
+        ).astype(jnp.int8)
 
         new_state, feedback = env.step(state, guess, jnp.ones((B,), bool), ke)
 

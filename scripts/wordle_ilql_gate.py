@@ -3,20 +3,33 @@
 Config #2 is "vectorized env + GPT-2-class ILQL": the reference trains
 offline ILQL on scripted-policy mixtures and serves π_β + β·min(Q1,Q2)
 with β=32 (wordle/ilql/train_ilql_gpt2.py:33-100, experiments/wordle/
-ilql.sh). This harness runs the whole thing TPU-natively:
+ilql.sh). This harness runs the whole thing TPU-natively, in the
+STREAMING regime the vector env makes possible (934k env-steps/s/chip
+means behavior data is effectively free — every gradient step trains on
+a fresh scripted-mixture batch, the infinite-offline-dataset limit of
+the reference's fixed jsonl):
 
-  1. behavior data from the scripted mixture (StartWord + RandomMixture,
-     cli/tasks.py::generate_wordle_chains — mixed quality so %BC has a
-     signal to filter and ILQL has returns to regress);
-  2. BC(all) and %BC(top filter_frac, equal gradient-update budget) —
-     the reference's baselines (wordle/bc/create_percent_bc_data.py:6-19);
-  3. offline ILQL from the BC trunk (twin Q + V, β-guided serving);
-  4. ALL policy evals are fused on-device rollouts (loops/actor.py):
-     the [26,5] int8 vectorized env steps under the same jit as the
-     decode loop — the token stream matches the host protocol
-     byte-for-byte (golden-tested), so host-trained BC drives it as-is;
-  5. the OptimalPolicy expected-information bound on the same vocab
-     (wordle/misc/optimal_perf.py semantics) situates all numbers.
+  1. behavior = the per-TURN quality mixture (rollout_wordle_scripted:
+     knowledge-consistent guess w.p. --p-smart else a random valid
+     word). Per-turn mixing makes episode-level %BC filtering unable to
+     isolate turn quality while per-token values can — the same
+     adversarial design as the maze/car-dealer gates.
+  2. BC(all): streaming BC, fresh 512-episode batch per step. The r5
+     diagnosis (PERF_NOTES): at the old 2.5k-update budget the trunk
+     learns only the vocab trie (serve-time guess consistency 0.02 vs
+     behavior 0.67); at ~20k updates it learns the consistency function
+     outright (serve win 0.93 vs behavior 0.95).
+  3. %BC: same updates/batch, each batch filtered to the top
+     --filter-frac episodes by return (wordle/bc/
+     create_percent_bc_data.py:6-19 semantics, per-chunk quantile).
+  4. offline ILQL from the BC trunk (twin Q + V, streaming batches from
+     the same behavior policy), served as π_β + β·min(Q1,Q2) guided
+     decode (value_rl_base/gpt2/generation.py:36-121) with the decode
+     masked to the vocab trie for every policy alike.
+  5. the OptimalPolicy expected-information bound and the
+     pure-consistent scripted ceiling (p_smart=1.0) situate all
+     numbers; the ILQL win is suppressing the (1 - p_smart) random
+     component of the behavior mixture.
 
 Gate: ILQL guided (sampled, fixed seeds) must beat %BC by --margin.
 Run on the TPU chip:  python scripts/wordle_ilql_gate.py
@@ -44,28 +57,25 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--n-episodes", type=int, default=2000)
-    p.add_argument(
-        "--device-data", type=int, default=20480,
-        help="generate this many behavior episodes ON DEVICE with the "
-        "scripted per-TURN mixture (actor.rollout_wordle_scripted: "
-        "consistent guess w.p. prob-smart else random valid word) at "
-        "vector-env rates. Per-turn mixing makes episode-level %BC "
-        "filtering unable to isolate turn quality while per-token values "
-        "can (the maze/car-dealer adversarial design). 0 = host-scripted "
-        "episode collection (--n-episodes, episode-level mixture)",
-    )
-    p.add_argument("--gen-batch", type=int, default=2048)
+    p.add_argument("--bc-steps", type=int, default=16000,
+                   help="streaming BC updates (fresh batch per step)")
+    p.add_argument("--pbc-steps", type=int, default=16000)
+    p.add_argument("--ilql-steps", type=int, default=10000)
+    p.add_argument("--bsize", type=int, default=512)
     p.add_argument("--prob-smart", type=float, default=0.66)
+    p.add_argument(
+        "--prob-repeat", type=float, default=0.24,
+        help="per-turn mass on REPEATING the previous valid guess (the "
+        "reference's RepeatPolicy, wordle/env/scripted_policies.py:42-174)"
+        " — a concentrated bad action greedy imitation locks onto; the "
+        "remaining 1-smart-repeat mass is a uniform random valid word",
+    )
     p.add_argument("--filter-frac", type=float, default=0.25)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--heads", type=int, default=4)
-    p.add_argument("--bc-epochs", type=int, default=4)
-    p.add_argument("--ilql-epochs", type=int, default=12)
-    p.add_argument("--eval-every", type=int, default=4)
-    p.add_argument("--bsize", type=int, default=32)
-    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup", type=int, default=500)
     p.add_argument(
         "--beta", type=float, default=32.0,
         help="decode-time advantage weight; the reference's wordle ILQL "
@@ -75,22 +85,22 @@ def main(argv=None):
     p.add_argument(
         "--polyak", type=float, default=0.02,
         help="token-level Bellman backups propagate one action token per "
-        "target refresh (~60 action tokens/episode here); 0.005 was too "
+        "target refresh (~40 action tokens/episode here); 0.005 was too "
         "slow to carry the terminal reward back at this update budget "
         "(the car-dealer gate's diagnosis, PERF_NOTES r5)",
     )
     p.add_argument("--value-bias-init", type=float, default=-4.0,
                    help="typical wordle return scale (cf. the reference's "
                    "bias_init=-4.1 wordle value head)")
-    p.add_argument("--lr-warmdown", action="store_true", default=True)
-    p.add_argument("--no-lr-warmdown", dest="lr_warmdown", action="store_false")
-    p.add_argument("--eval-batch", type=int, default=512)
+    p.add_argument("--base-lr-scale", type=float, default=0.3,
+                   help="ILQL trunk lr = lr * this (heads get full lr); "
+                   "both cosine-annealed to zero over --ilql-steps")
+    p.add_argument("--eval-every", type=int, default=2500,
+                   help="guided-eval interval in ILQL steps")
+    p.add_argument("--eval-batch", type=int, default=1024)
     p.add_argument("--eval-temp", type=float, default=1.0)
     p.add_argument("--optimal-episodes", type=int, default=64,
                    help="0 skips the host OptimalPolicy bound")
-    p.add_argument("--online-rounds", type=int, default=0,
-                   help="optional on-device online ILQL rounds after the "
-                   "offline phase (loops/online_device.py)")
     p.add_argument("--constrain-vocab", action="store_true", default=True,
                    help="mask every serving rollout's decode to the vocab "
                    "trie (actor.rollout_wordle(constrain_vocab=True)) — "
@@ -118,13 +128,10 @@ def main(argv=None):
     import optax
     from flax.training.train_state import TrainState
 
-    from lmrl_gym_tpu.algos import data as algo_data
     from lmrl_gym_tpu.algos.bc import BCBatch, BCConfig, BCTrainState, make_bc_train_step
     from lmrl_gym_tpu.algos.ilql import (
         ILQLBatch, ILQLConfig, init_ilql_state, make_ilql_train_step,
     )
-    from lmrl_gym_tpu.cli.tasks import generate_wordle_chains
-    from lmrl_gym_tpu.core.blocking import BlockingStrategy, Padding, Truncation
     from lmrl_gym_tpu.core.optimizer import OptimizerConfig, make_optimizer
     from lmrl_gym_tpu.envs.wordle.vector import WordleVectorEnv, WordleVocab
     from lmrl_gym_tpu.loops import actor as actor_mod
@@ -132,7 +139,6 @@ def main(argv=None):
     from lmrl_gym_tpu.models.heads import MLPHead, MLPHeadConfig, init_head_params
     from lmrl_gym_tpu.models.interface import LMCore
     from lmrl_gym_tpu.models.transformer import init_params
-    from lmrl_gym_tpu.text.frames import TokenTrajectoryChain
     from lmrl_gym_tpu.text.tokenizer import ByteTokenizer
 
     t_start = time.time()
@@ -145,137 +151,86 @@ def main(argv=None):
         embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
     )
     core = LMCore(config)
-    strategy = BlockingStrategy(Padding.RIGHT, Truncation.RIGHT, MAX_LEN)
     vocab = WordleVocab.from_file()
     venv = WordleVectorEnv(vocab)
     B = args.eval_batch
 
-    # ---- behavior data: on-device scripted-mixture rollouts (default)
-    # or host-scripted episode collection (--device-data 0)
-    device_rollout = None
-    if args.device_data > 0:
-        print(f"data: {args.device_data} episodes ON DEVICE, per-turn "
-              f"mixture p_smart={args.prob_smart}")
-        gen_holder = jnp.zeros((args.gen_batch,))
-        gkey = jax.random.PRNGKey(args.seed * 131 + 7)
-        parts = []
-        for i in range(-(-args.device_data // args.gen_batch)):
-            gkey, k = jax.random.split(gkey)
-            parts.append(
-                actor_mod.rollout_wordle_scripted(
-                    venv, k, gen_holder, args.prob_smart
-                )
+    # ---- behavior / ceiling statistics (on-device scripted rollouts)
+    def scripted_stats(p_smart, seed0, n_batches=2, p_repeat=0.0):
+        rets, wins = [], []
+        for s in range(n_batches):
+            ro = actor_mod.rollout_wordle_scripted(
+                venv, jax.random.PRNGKey(seed0 + s), jnp.zeros((2048,)),
+                p_smart, p_repeat,
             )
-        device_rollout = jax.tree.map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs])[
-                : args.device_data
-            ],
-            *parts,
-        )
-        ep_rewards = (
-            device_rollout.turn_reward * device_rollout.turn_live
-        ).sum(axis=1)
-        print(f"behavior: reward mean {ep_rewards.mean():.3f} "
-              f"min {ep_rewards.min():.0f} max {ep_rewards.max():.0f} "
-              f"win {device_rollout.win.mean():.3f} "
-              f"({time.time()-t_start:.0f}s)")
-        token_chains = None
-    else:
-        print(f"data: {args.n_episodes} episodes, scripted mixture "
-              f"prob_smart={args.prob_smart}")
-        chains = generate_wordle_chains(
-            args.n_episodes, seed=args.seed, prob_smart=args.prob_smart
-        )
-        ep_rewards = np.asarray([sum(c.text_trajectory.reward) for c in chains])
-        print(f"behavior: reward mean {ep_rewards.mean():.3f} "
-              f"min {ep_rewards.min():.0f} max {ep_rewards.max():.0f} "
-              f"({time.time()-t_start:.0f}s)")
-        token_chains = [
-            TokenTrajectoryChain.from_text_trajectory_chain(c, tokenizer) for c in chains
-        ]
+            rets.append(float(
+                (np.asarray(ro.turn_reward) * np.asarray(ro.turn_live)).sum(1).mean()
+            ))
+            wins.append(float(np.asarray(ro.win).mean()))
+        return float(np.mean(rets)), float(np.mean(wins))
 
-    # ---- BC(all) and %BC
-    def train_bc(tcs, seed, epochs_scale=1):
-        examples = []
-        for c in tcs:
-            for tt in c.to_list():
-                examples.append(
-                    algo_data.BCExample.from_segments(tt.tokens, tt.is_action)
-                )
-        dataset = algo_data.ArrayDataset(
-            algo_data.block_bc_examples(examples, strategy, tokenizer.pad_token_id)
-        )
+    behavior_ret, behavior_win = scripted_stats(
+        args.prob_smart, 1000, p_repeat=args.prob_repeat
+    )
+    ceiling_ret, ceiling_win = scripted_stats(1.0, 2000)
+    print(f"behavior (p_smart={args.prob_smart}, p_repeat={args.prob_repeat}): "
+          f"return {behavior_ret:.3f} "
+          f"win {behavior_win:.3f} | pure-consistent ceiling: "
+          f"{ceiling_ret:.3f}/{ceiling_win:.3f} ({time.time()-t_start:.0f}s)")
+
+    gen_holder = jnp.zeros((args.bsize,))
+    # %BC draws a bigger chunk and keeps the top filter-frac, so every
+    # update still sees a full bsize batch (equal update budget AND equal
+    # tokens-per-update vs BC(all))
+    pbc_gen = max(args.bsize, int(round(args.bsize / max(args.filter_frac, 1e-6))))
+    pbc_holder = jnp.zeros((pbc_gen,))
+
+    # ---- streaming BC (fresh scripted-mixture batch every update)
+    def train_bc_stream(steps, seed, filter_frac=None):
         params = init_params(config, jax.random.PRNGKey(seed))
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, min(args.warmup, max(1, steps // 4)), steps
+        )
         state = BCTrainState(
             model=TrainState.create(
                 apply_fn=None, params=params,
-                tx=make_optimizer(OptimizerConfig(lr=args.lr), params),
+                tx=make_optimizer(OptimizerConfig(lr=sched), params),
             )
         )
         step = make_bc_train_step(core, BCConfig(), tokenizer.pad_token_id, None)
+        gkey = jax.random.PRNGKey(seed * 131 + 7)
         key = jax.random.PRNGKey(seed + 1)
-        rng = np.random.default_rng(seed)
+        holder = gen_holder if filter_frac is None else pbc_holder
         loss = jnp.zeros(())
-        for _ in range(args.bc_epochs * epochs_scale):
-            for b in dataset.batches(args.bsize, rng=rng, drop_last=False):
-                key, sk = jax.random.split(key)
-                state, loss, _ = step(
-                    state,
-                    BCBatch(jnp.asarray(b["input_ids"]), jnp.asarray(b["training_mask"])),
-                    sk,
-                )
-        return state.model.params, float(loss)
-
-    def train_bc_arrays(data, seed, epochs_scale=1):
-        """BC straight from device-generated [N,128] token arrays."""
-        dataset = algo_data.ArrayDataset(data)
-        params = init_params(config, jax.random.PRNGKey(seed))
-        state = BCTrainState(
-            model=TrainState.create(
-                apply_fn=None, params=params,
-                tx=make_optimizer(OptimizerConfig(lr=args.lr), params),
+        for it in range(1, steps + 1):
+            gkey, gk = jax.random.split(gkey)
+            ro = actor_mod.rollout_wordle_scripted(
+                venv, gk, holder, args.prob_smart, args.prob_repeat
             )
-        )
-        step = make_bc_train_step(core, BCConfig(), tokenizer.pad_token_id, None)
-        key = jax.random.PRNGKey(seed + 1)
-        rng = np.random.default_rng(seed)
-        loss = jnp.zeros(())
-        for _ in range(args.bc_epochs * epochs_scale):
-            for b in dataset.batches(args.bsize, rng=rng, drop_last=False):
-                key, sk = jax.random.split(key)
-                state, loss, _ = step(
-                    state,
-                    BCBatch(jnp.asarray(b["input_ids"]), jnp.asarray(b["training_mask"])),
-                    sk,
-                )
+            toks = ro.tokens.astype(jnp.int32)
+            mask = ro.token_action_mask().astype(jnp.float32)
+            if filter_frac is not None:
+                ep_r = (ro.turn_reward * ro.turn_live).sum(axis=1)
+                # top-frac episodes of this chunk (create_percent_bc_data
+                # semantics, applied per streaming chunk)
+                keep = jnp.argsort(ep_r)[::-1][: args.bsize]
+                toks, mask = toks[keep], mask[keep]
+            key, sk = jax.random.split(key)
+            state, loss, _ = step(state, BCBatch(toks, mask), sk)
+            if it % 4000 == 0:
+                print(f"  bc step {it}/{steps}: loss {float(loss):.3f} "
+                      f"({time.time()-t_start:.0f}s)", flush=True)
         return state.model.params, float(loss)
 
-    if device_rollout is not None:
-        bc_tokens = device_rollout.tokens.astype(np.int32)
-        bc_mask = np.asarray(device_rollout.token_action_mask()).astype(
-            np.float32
-        )
-        bc_data = dict(input_ids=bc_tokens, training_mask=bc_mask)
-        bc_params, bc_loss = train_bc_arrays(bc_data, args.seed)
-        cutoff = np.quantile(ep_rewards, 1.0 - args.filter_frac)
-        keep_idx = np.flatnonzero(ep_rewards >= cutoff)
-        scale = max(1, round(len(bc_tokens) / max(1, len(keep_idx))))
-        pbc_params, pbc_loss = train_bc_arrays(
-            dict(input_ids=bc_tokens[keep_idx], training_mask=bc_mask[keep_idx]),
-            args.seed, epochs_scale=scale,
-        )
-        print(f"BC loss {bc_loss:.3f} | %BC keeps {len(keep_idx)} eps "
-              f"(reward >= {cutoff:.0f}) loss {pbc_loss:.3f} "
-              f"({time.time()-t_start:.0f}s)")
-    else:
-        bc_params, bc_loss = train_bc(token_chains, args.seed)
-        cutoff = np.quantile(ep_rewards, 1.0 - args.filter_frac)
-        keep = [c for c, r in zip(token_chains, ep_rewards) if r >= cutoff]
-        scale = max(1, round(len(token_chains) / max(1, len(keep))))
-        pbc_params, pbc_loss = train_bc(keep, args.seed, epochs_scale=scale)
-        print(f"BC loss {bc_loss:.3f} | %BC keeps {len(keep)} eps "
-              f"(reward >= {cutoff:.0f}) loss {pbc_loss:.3f} "
-              f"({time.time()-t_start:.0f}s)")
+    print(f"BC(all): {args.bc_steps} streaming steps @ bsize {args.bsize}")
+    bc_params, bc_loss = train_bc_stream(args.bc_steps, args.seed)
+    print(f"BC loss {bc_loss:.3f} ({time.time()-t_start:.0f}s)")
+    print(f"%BC: {args.pbc_steps} steps, top {args.filter_frac:.0%} of "
+          f"{pbc_gen}-episode chunks")
+    pbc_params, pbc_loss = train_bc_stream(
+        args.pbc_steps, args.seed, filter_frac=args.filter_frac
+    )
+    print(f"%BC loss {pbc_loss:.3f} ({time.time()-t_start:.0f}s)")
 
     # ---- on-device eval harness (fused actor; fixed keys)
     lm_step_fn, lm_carry0 = actor_mod.make_lm_step_fn(core, B)
@@ -300,27 +255,7 @@ def main(argv=None):
     pbc_s = eval_lm(pbc_params, "%BC")
     pbc_g = eval_lm(pbc_params, "%BC", greedy=True)
 
-    # ---- offline ILQL from the BC trunk
-    if device_rollout is not None:
-        n_examples = len(bc_tokens)
-        dataset = algo_data.ArrayDataset(dict(
-            input_ids=bc_tokens,
-            should_take_action=bc_mask[:, 1:].astype(bool),
-            rewards=np.asarray(device_rollout.token_rewards())[:, 1:].astype(
-                np.float32
-            ),
-            dones=np.ones((n_examples,), bool),
-        ))
-    else:
-        examples = []
-        for c in token_chains:
-            curr = c
-            while curr is not None:
-                examples.append(algo_data.ILQLExample.from_chain(curr))
-                curr = curr.next
-        dataset = algo_data.ArrayDataset(
-            algo_data.block_ilql_examples(examples, strategy, tokenizer.pad_token_id)
-        )
+    # ---- streaming offline ILQL from the BC trunk
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
     q_cfg = MLPHeadConfig(
         input_dim=config.hidden_size, hidden_dim=2 * config.hidden_size,
@@ -337,21 +272,16 @@ def main(argv=None):
         gamma=args.gamma, polyak_alpha=args.polyak, beta=args.beta,
         use_separate_target_base=True,
     )
-    n_examples = (
-        len(bc_tokens) if device_rollout is not None else len(examples)
-    )
-    n_batches = -(-n_examples // args.bsize)
-    total_updates = max(1, args.ilql_epochs * n_batches)
-    head_lr = (
-        optax.cosine_decay_schedule(args.lr, total_updates)
-        if args.lr_warmdown else args.lr
+    head_lr = optax.cosine_decay_schedule(args.lr, max(1, args.ilql_steps))
+    base_lr = optax.cosine_decay_schedule(
+        args.lr * args.base_lr_scale, max(1, args.ilql_steps)
     )
     state = init_ilql_state(
         jax.tree.map(jnp.array, bc_params),
         init_head_params(q_head, config.hidden_size, ks[0]),
         init_head_params(q_head, config.hidden_size, ks[1]),
         init_head_params(v_head, config.hidden_size, ks[2]),
-        optax.adamw(args.lr * 0.3),
+        optax.adamw(base_lr),
         optax.adamw(head_lr),
         ilql_config,
     )
@@ -384,56 +314,38 @@ def main(argv=None):
               f"({time.time()-t_start:.0f}s)")
         return dict(ret=ret, win=win)
 
+    gkey = jax.random.PRNGKey(args.seed * 977 + 13)
     key = jax.random.PRNGKey(3)
-    rng = np.random.default_rng(args.seed)
     curve = []
-    for epoch in range(1, args.ilql_epochs + 1):
-        t0 = time.time()
-        for b in dataset.batches(args.bsize, rng=rng, drop_last=False):
-            key, sk = jax.random.split(key)
-            state, loss, logs = train_step(
-                state,
-                ILQLBatch(
-                    input_ids=jnp.asarray(b["input_ids"]),
-                    should_take_action=jnp.asarray(b["should_take_action"]),
-                    rewards=jnp.asarray(b["rewards"]),
-                    dones=jnp.asarray(b["dones"]),
-                    next_token_ids=None if b.get("next_token_ids") is None
-                    else jnp.asarray(b["next_token_ids"]),
-                    next_dones=None if b.get("next_dones") is None
-                    else jnp.asarray(b["next_dones"]),
-                ),
-                sk,
-            )
-        if epoch % args.eval_every == 0 or epoch == args.ilql_epochs:
+    for it in range(1, args.ilql_steps + 1):
+        gkey, gk = jax.random.split(gkey)
+        ro = actor_mod.rollout_wordle_scripted(
+            venv, gk, gen_holder, args.prob_smart, args.prob_repeat
+        )
+        mask = ro.token_action_mask()
+        key, sk = jax.random.split(key)
+        state, loss, logs = train_step(
+            state,
+            ILQLBatch(
+                input_ids=ro.tokens.astype(jnp.int32),
+                should_take_action=mask[:, 1:],
+                rewards=ro.token_rewards()[:, 1:].astype(jnp.float32),
+                dones=jnp.ones((args.bsize,), bool),
+                next_token_ids=None,
+                next_dones=None,
+            ),
+            sk,
+        )
+        if it % args.eval_every == 0 or it == args.ilql_steps:
             qm = float(logs["q1"]["mean"])
             vm = float(logs["v"]["mean"])
-            print(f"epoch {epoch}: loss {float(loss):.3f} q~{qm:.2f} "
-                  f"v~{vm:.2f} ({time.time()-t0:.0f}s)")
-            m = eval_guided(state, f"ILQL(ep{epoch})")
-            curve.append(dict(epoch=epoch, **m))
+            print(f"ilql step {it}: loss {float(loss):.3f} q~{qm:.2f} "
+                  f"v~{vm:.2f} ({time.time()-t_start:.0f}s)", flush=True)
+            m = eval_guided(state, f"ILQL(step {it})")
+            curve.append(dict(step=it, **m))
 
-    ilql_s = eval_guided(state, "ILQL guided (target heads)", use_target=True)
+    ilql_t = eval_guided(state, "ILQL guided (target heads)", use_target=True)
     ilql_g = eval_guided(state, "ILQL guided", greedy=True)
-
-    online_history = []
-    if args.online_rounds > 0:
-        from lmrl_gym_tpu.loops.online_device import (
-            OnlineDeviceConfig, online_ilql_wordle,
-        )
-
-        state, online_history = online_ilql_wordle(
-            core, q_head, v_head, state, venv, ilql_config,
-            OnlineDeviceConfig(
-                n_rounds=args.online_rounds, rollout_batch=256,
-                train_bsize=args.bsize, pad_token_id=tokenizer.pad_token_id,
-            ),
-            jax.random.PRNGKey(args.seed * 7 + 1),
-        )
-        for m in online_history:
-            print(f"online round {m['round']}: reward {m['mean_episode_reward']:.3f} "
-                  f"win {m['win_rate']:.3f} loss {m['loss']:.3f}")
-        curve.append(dict(epoch="online", **eval_guided(state, "ILQL post-online")))
 
     # ---- OptimalPolicy bound (host, exact expected-information argmax)
     optimal_ret = None
@@ -456,20 +368,24 @@ def main(argv=None):
 
     final = curve[-1] if curve else dict(ret=float("nan"), win=float("nan"))
     result = dict(
-        behavior_return=float(ep_rewards.mean()),
+        behavior_return=behavior_ret, behavior_win=behavior_win,
+        consistent_ceiling_return=ceiling_ret,
+        consistent_ceiling_win=ceiling_win,
         bc_return=bc_s["ret"], bc_win=bc_s["win"],
         bc_return_greedy=bc_g["ret"],
         pbc_return=pbc_s["ret"], pbc_win=pbc_s["win"],
         pbc_return_greedy=pbc_g["ret"],
         ilql_return=final["ret"], ilql_win=final["win"],
-        ilql_return_target_heads=ilql_s["ret"],
+        ilql_return_target_heads=ilql_t["ret"],
+        ilql_win_target_heads=ilql_t["win"],
         ilql_return_greedy=ilql_g["ret"], ilql_win_greedy=ilql_g["win"],
         optimal_return=optimal_ret,
-        curve=curve, online_history=online_history,
+        curve=curve,
         constrain_vocab=args.constrain_vocab,
         model=f"d{args.hidden} L{args.layers} byte vocab "
-        f"{tokenizer.vocab_size}, beta={args.beta}, eval B={B} on-device "
-        f"fused rollouts (ref names GPT-2-small; sized to one v5e chip)",
+        f"{tokenizer.vocab_size}, beta={args.beta}, streaming bsize "
+        f"{args.bsize}, eval B={B} on-device fused rollouts (ref names "
+        f"GPT-2-small; sized to one v5e chip)",
     )
     print(json.dumps(result))
     if args.out:

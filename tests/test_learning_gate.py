@@ -565,9 +565,9 @@ def test_wordle_ilql_gate():
         argv = []
         margin = 0.05  # ILQL must beat %BC on the chip
     else:
-        argv = ["--n-episodes", "120", "--hidden", "96", "--layers", "2",
-                "--heads", "2", "--bc-epochs", "2", "--ilql-epochs", "2",
-                "--eval-every", "2", "--eval-batch", "32",
+        argv = ["--bc-steps", "30", "--pbc-steps", "30", "--ilql-steps", "20",
+                "--bsize", "16", "--hidden", "96", "--layers", "2",
+                "--heads", "2", "--eval-every", "10", "--eval-batch", "32",
                 "--optimal-episodes", "0"]
         margin = -1.5
     result = gate_main(argv)
