@@ -64,11 +64,15 @@ def main(argv=None):
     p.add_argument("--bsize", type=int, default=512)
     p.add_argument("--prob-smart", type=float, default=0.66)
     p.add_argument(
-        "--prob-repeat", type=float, default=0.24,
+        "--prob-repeat", type=float, default=0.0,
         help="per-turn mass on REPEATING the previous valid guess (the "
         "reference's RepeatPolicy, wordle/env/scripted_policies.py:42-174)"
-        " — a concentrated bad action greedy imitation locks onto; the "
-        "remaining 1-smart-repeat mass is a uniform random valid word",
+        " — a concentrated bad action greedy imitation locks onto. "
+        "RECORDED NEGATIVE at 0.24 (GATE_WORDLE_ILQL_r05_repeatmix_"
+        "negative.json): per-letter beta*Q cannot steer away from the "
+        "repeat at its first letter, where Q averages over shared-prefix "
+        "continuations — word-level sample-rerank is the named follow-up "
+        "(PERF_NOTES r5). Default 0 = the passing gate configuration",
     )
     p.add_argument("--filter-frac", type=float, default=0.25)
     p.add_argument("--hidden", type=int, default=256)
